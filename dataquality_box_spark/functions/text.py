@@ -1,0 +1,85 @@
+"""Heuristic text-quality feature columns — pure JVM-side expressions.
+
+Every feature here is a whole-column ``pyspark.sql.Column`` expression that
+stays inside whole-stage codegen — the Spark re-expression of the
+reference's Polars expression rules (reference: plugins/operators/
+rule_engine.py:291-310 filter rules; plugins/configs/rules/p0_R01.yaml
+etc. predicate shapes). No Python executes per row.
+
+Regex note: only the common Java-regex / Python-re / RE2 subset is used,
+and whitespace classes are written explicitly (``[ \\t\\n\\r]``) because
+Java's ``\\s`` is ASCII-only while Python's is Unicode-aware.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import BOILERPLATE_PREFIXES, TOXICITY_WORDS, QualityConfig
+
+WS = "[ \\t\\n\\r]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties removed (== Python re.findall(r'\\S+'))."""
+    return F.filter(F.split(text, WS + "+"), lambda x: x != F.lit(""))
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def n_chars(text: Column) -> Column:
+    return F.coalesce(F.length(text), F.lit(0))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """size(distinct tokens)/size(tokens); 1.0 when empty (no repetition)."""
+    toks = tokens(text)
+    return F.when(F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)).otherwise(
+        F.lit(1.0)
+    )
+
+
+def symbol_ratio(text: Column) -> Column:
+    """Non-alphanumeric, non-whitespace chars / total chars; 0.0 when empty."""
+    stripped = F.length(F.regexp_replace(text, "[A-Za-z0-9 \\t\\n\\r]", ""))
+    return F.when(n_chars(text) > 0, stripped / n_chars(text)).otherwise(F.lit(0.0))
+
+
+def _escape_re(s: str) -> str:
+    out = []
+    for ch in s:
+        out.append("\\" + ch if ch in r"\.^$|?*+()[]{}" else ch)
+    return "".join(out)
+
+
+def is_boilerplate(text: Column, prefixes: tuple[str, ...] = BOILERPLATE_PREFIXES) -> Column:
+    pat = "^(?:" + "|".join(_escape_re(p) for p in prefixes) + ")"
+    return F.coalesce(text.rlike(pat), F.lit(False))
+
+
+def has_toxicity(text: Column, words: tuple[str, ...] = TOXICITY_WORDS) -> Column:
+    pat = "(?i)\\b(?:" + "|".join(_escape_re(w) for w in words) + ")\\b"
+    return F.coalesce(text.rlike(pat), F.lit(False))
+
+
+def text_flag_columns(text: Column, cfg: QualityConfig) -> dict[str, Column]:
+    """All per-turn text rule flags as named boolean Columns.
+
+    Mirrors the reference's named pre_compute columns feeding filter rules
+    (reference: plugins/operators/rule_engine.py:246-285).
+    """
+    nt = n_tokens(text)
+    nc = n_chars(text)
+    return {
+        "too_short": nt < cfg.min_tokens,
+        "too_long": nc > cfg.max_chars,
+        "high_repetition": (nt >= cfg.repetition_min_tokens)
+        & (distinct_token_ratio(text) < cfg.repetition_distinct_ratio),
+        "high_symbol_ratio": (nc >= cfg.symbol_min_chars)
+        & (symbol_ratio(text) > cfg.max_symbol_ratio),
+        "boilerplate": is_boilerplate(text),
+        "toxicity": has_toxicity(text),
+    }

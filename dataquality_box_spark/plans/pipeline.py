@@ -1,0 +1,97 @@
+"""The flagship filter+scrub pipeline: one declarative DataFrame plan.
+
+Stage graph (reference lifecycle analog: Loader → Adapter → rules →
+Aggregator, SURVEY.md §3.1), collapsed into a single Catalyst plan with
+exactly ONE shuffle:
+
+  annotate_turns   per-turn text features + langid/ppl pandas UDFs (narrow)
+  conversation     window flags over (conv_id; turn_idx, ts)   (1 shuffle)
+  decide + scrub   drop_reasons/keep + regexp PII scrub        (narrow)
+
+At 100 TB the narrow stages run map-side on the scan; the only data
+movement is the hash partition on conv_id for the window, which is also
+reused by the per-conversation metrics aggregation (same key, no second
+shuffle thanks to Catalyst's partitioning-reuse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, QualityConfig
+from ..functions.scoring import detect_lang_udf, perplexity_udf
+from ..functions.scrub import scrub_text
+from ..functions.text import text_flag_columns
+from ..operators.conversation import with_conversation_flags
+from ..operators.decide import high_perplexity_flag, with_decision, wrong_language_flag
+from ..schema import CONVERSATION_REASONS, DROP_REASONS
+
+
+def annotate_turns(df: DataFrame, cfg: QualityConfig) -> DataFrame:
+    """Per-turn features: text rule flags + lang + ppl. Narrow (no shuffle)."""
+    out = df
+    for name, col in text_flag_columns(F.col("text"), cfg).items():
+        out = out.withColumn(name, col)
+    out = out.withColumn("lang", detect_lang_udf(F.col("text")))
+    out = out.withColumn("ppl", perplexity_udf(F.col("text")))
+    out = out.withColumn("wrong_language", wrong_language_flag(F.col("lang"), cfg))
+    out = out.withColumn("high_perplexity", high_perplexity_flag(F.col("ppl"), cfg))
+    return out
+
+
+def run_pipeline(
+    df: DataFrame, cfg: QualityConfig = DEFAULT_CONFIG, repartition_to: int | None = None
+) -> DataFrame:
+    """Full annotated frame: input columns + flags + lang/ppl +
+    drop_reasons + keep + scrubbed_text."""
+    annotated = annotate_turns(df, cfg)
+    if repartition_to:
+        # explicit repartition before the shuffle-heavy window stage
+        # (north rule; reference analog: fixed shard fan-out,
+        # dags/reconciliation_worker_dag.py:56-63)
+        annotated = annotated.repartition(repartition_to, "conv_id")
+    conv = with_conversation_flags(annotated, cfg)
+    flag_cols = {r: r for r in DROP_REASONS if r in conv.columns}
+    decided = with_decision(conv, cfg, flag_cols)
+    return decided.withColumn(
+        "scrubbed_text", F.when(F.col("keep"), scrub_text(F.col("text")))
+    )
+
+
+def kept_turns(result: DataFrame) -> DataFrame:
+    """The sink-side projection: kept turns with scrubbed text only."""
+    return result.filter(F.col("keep")).select(
+        "conv_id", "turn_idx", "role", "scrubbed_text", "tool", "ts", "lang"
+    )
+
+
+def drop_reason_metrics(result: DataFrame, batch_id: str = "batch0") -> DataFrame:
+    """Per-reason drop counts — the lineage/metrics emission (reference
+    analog: governance_rule_results rows, plugins/operators/
+    report_writer.py:116-171). One exploded groupBy; partial aggregation
+    is map-side so this never moves full rows."""
+    flags = [r for r in DROP_REASONS if r in result.columns]
+    per_reason = (
+        result.select(F.explode("drop_reasons").alias("drop_reason"))
+        .groupBy("drop_reason")
+        .agg(F.count("*").alias("rows_flagged"))
+    )
+    totals = result.agg(
+        F.count("*").alias("rows_in"),
+        F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+    ).select(
+        F.lit("__total__").alias("drop_reason"),
+        F.col("rows_in").alias("rows_flagged"),
+    )
+    _ = flags
+    return per_reason.unionByName(totals).withColumn("batch_id", F.lit(batch_id))
+
+
+def conversation_metrics(result: DataFrame) -> DataFrame:
+    """Per-conversation keep-rate metrics (reuses the conv_id partitioning)."""
+    return result.groupBy("conv_id").agg(
+        F.count("*").alias("rows_in"),
+        F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+        (F.count("*") - F.sum(F.col("keep").cast("long"))).alias("rows_dropped"),
+    )

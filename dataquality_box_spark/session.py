@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local-mode testing uses ``local[N]``; the same config block is what a
+cluster deployment would pass to ``spark-submit --conf``. AQE is on so
+skewed conv_id partitions are split at runtime; shuffle partitions default
+to the core count (local) — on a real cluster this would be 2-3x total
+cores or left to AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dataquality_box_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    parallelism=None -> local[*]. On a real cluster, drop .master and let
+    spark-submit decide; every other conf carries over unchanged.
+    """
+    cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle = shuffle_partitions or cpus or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("DQX_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

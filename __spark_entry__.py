@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship filter+scrub pipeline over transcripts derived
+               deterministically from the sf0.001 driver tables.
+queries()    — one entry per implemented operator family (SURVEY.md §2),
+               implemented in dataquality_box_spark.driver_queries.
+oracle_sql() — DuckDB twins for the same names.
 """
 
 from __future__ import annotations
@@ -16,23 +16,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from dataquality_box_spark.config import MIXED_LANG_CONFIG
+    from dataquality_box_spark.plans.pipeline import run_pipeline
+    from dataquality_box_spark.sources.driver_tables import transcripts_view
+
+    transcripts = transcripts_view(spark, "/root/testdata/sf0.001")
+    result = run_pipeline(transcripts, MIXED_LANG_CONFIG)
+    return result.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "lang",
+        "ppl",
+        "keep",
+        "drop_reasons",
+        "scrubbed_text",
+        "ts",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dataquality_box_spark.driver_queries import PAIRS
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in PAIRS.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dataquality_box_spark.driver_queries import PAIRS
+
+    return {name: sql for name, (_fn, sql) in PAIRS.items() if sql is not None}

@@ -1,0 +1,592 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle twins.
+
+Each entry exercises one operator family from SURVEY.md §2 on the
+driver-provided tables (TESTDATA.md). The Spark side goes through the
+library's operators; the oracle is an independent ANSI-SQL formulation
+DuckDB executes on the same parquet files.
+
+Cross-engine exactness rules (the driver hash-compares values):
+  * Money/float sums go through DECIMAL(18,2) (exact, order-independent),
+    then CAST back to DOUBLE — identical bits in both engines.
+  * Integer-valued doubles (l_quantity) sum exactly as doubles already.
+  * Timestamps are emitted as formatted strings (session tz pinned UTC).
+  * Никаких nondeterministic collect orders: sets are sorted before join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.conversation import compact_consecutive_runs, top1_per_group
+from .sources.driver_tables import register_views
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+PAIRS: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        PAIRS[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table(name)
+
+
+def _dsum(col, alias):  # exact money sum: decimal(18,2) -> double
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2: group-by multi-aggregate (reference: cycle rollup,
+# plugins/services/data_quality_runner.py:271-284)
+@_q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1997-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1997-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# P3/P6: filter rule + severity constant (reference: rule_engine.py:291-310)
+@_q(
+    "filter_rule_hits",
+    """
+    SELECT event_id, user_id, value, 'P0' AS severity
+    FROM events WHERE event_type = 'error' AND value > 150
+    """,
+)
+def filter_rule_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 150))
+        .select("event_id", "user_id", "value")
+        .withColumn("severity", F.lit("P0"))
+    )
+
+
+# J1: left join + hit marker (reference: data_quality_runner.py:463-487)
+@_q(
+    "join_hit_marker",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN c.__hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM orders o
+    LEFT JOIN (SELECT c_custkey, 1 AS __hit FROM customer WHERE c_acctbal > 0) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_hit_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _tbl(spark, sf_dir, "orders")
+    c = (
+        spark.table("customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", F.lit(1).alias("__hit"))
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("__hit").isNotNull().cast("long")).alias("n_matched"),
+        )
+    )
+
+
+# J3: anti join (reference: dq_lib/completeness.py:18-20)
+@_q(
+    "anti_join_orphans",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _tbl(spark, sf_dir, "customer")
+    o = spark.table("orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# J4: semi join (reference: reconciliation.py:334)
+@_q(
+    "semi_join_parts",
+    """
+    SELECT p_partkey, p_name, p_size FROM part p
+    WHERE p_size > 40 AND EXISTS (
+      SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+    """,
+)
+def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _tbl(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    li = spark.table("lineitem").filter(F.col("l_quantity") >= 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_size"
+    )
+
+
+# W1: lag-per-group continuity check (reference: dq_lib/consistency.py:61-139)
+@_q(
+    "window_lag_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS gap_us
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over_1h
+    FROM g GROUP BY user_id
+    """,
+)
+def window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    return (
+        ev.withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("gap_us") > 3_600_000_000).cast("long")).alias("n_gaps_over_1h"),
+        )
+    )
+
+
+# W4: top-1 per group (reference: reconciliation.py:345)
+@_q(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+            AS rn FROM events) t
+    WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    best = top1_per_group(ev, "user_id", [F.col("ts").desc(), F.col("event_id").desc()])
+    return best.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+# W3: group-broadcast aggregate (reference: cycle_adapter.yaml daily_total_*)
+@_q(
+    "group_broadcast_share",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity / SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS qty_share,
+           SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS order_qty
+    FROM lineitem
+    """,
+)
+def group_broadcast_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.conversation import group_broadcast
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    out = group_broadcast(li, "l_orderkey", {"order_qty": F.sum("l_quantity")})
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") / F.col("order_qty")).alias("qty_share"),
+        "order_qty",
+    )
+
+
+# W5: gaps-and-islands run compaction (reference: archive
+# DatalogLogicCheck_worker_dag.py:90-168 pandas loop -> pure window SQL)
+@_q(
+    "event_type_runs",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS island
+      FROM events)
+    SELECT user_id, event_type, CAST(COUNT(DISTINCT island) AS BIGINT) AS n_runs,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM t GROUP BY user_id, event_type
+    """,
+)
+def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    island = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")) - (
+        F.row_number().over(W.partitionBy("user_id", "event_type").orderBy("ts", "event_id"))
+    )
+    return (
+        ev.withColumn("island", island)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.countDistinct("island").alias("n_runs"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# U1: union-by-name, schema relaxed (reference: pl.concat diagonal,
+# reconciliation.py:338,424-427)
+@_q(
+    "union_by_name",
+    """
+    SELECT * FROM (
+      SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+      UNION ALL BY NAME
+      SELECT event_id, event_type FROM events WHERE event_type = 'signup') t
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "value")
+    signups = ev.filter(F.col("event_type") == "signup").select("event_id", "event_type")
+    return clicks.unionByName(signups, allowMissingColumns=True)
+
+
+# A5: 3-sigma outlier stats (reference: dq_lib/distribution.py:6-65)
+@_q(
+    "three_sigma_outliers",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 4)
+                  AS DECIMAL(28,4))) AS DOUBLE) AS sumsq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag),
+    b AS (SELECT l_returnflag, mu, n,
+                 sqrt((sumsq - mu * mu * n) / (n - 1)) AS sigma FROM s)
+    SELECT b.l_returnflag, ROUND(b.mu, 2) AS mu, ROUND(b.sigma, 2) AS sigma,
+           CAST(SUM(CASE WHEN abs(l.l_extendedprice - b.mu) > 3 * b.sigma
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY b.l_returnflag, b.mu, b.sigma
+    """,
+)
+def three_sigma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
+            "mu"
+        ),
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_extendedprice"), 4).cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("sumsq"),
+        F.count("*").alias("n"),
+    )
+    b = s.select(
+        "l_returnflag",
+        "mu",
+        "n",
+        F.sqrt((F.col("sumsq") - F.col("mu") * F.col("mu") * F.col("n")) / (F.col("n") - 1)).alias(
+            "sigma"
+        ),
+    )
+    j = li.join(F.broadcast(b), "l_returnflag")
+    return j.groupBy("l_returnflag", "mu", "sigma").agg(
+        F.sum(
+            (F.abs(F.col("l_extendedprice") - F.col("mu")) > 3 * F.col("sigma")).cast("long")
+        ).alias("n_outliers")
+    ).select(
+        "l_returnflag",
+        F.round("mu", 2).alias("mu"),
+        F.round("sigma", 2).alias("sigma"),
+        "n_outliers",
+    )
+
+
+# A4/A6: value counts + distinct counts (reference: metrics.py:125-126,
+# data_quality_runner.py:279)
+@_q(
+    "event_value_counts",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dsum("value", "total_value"),
+    )
+
+
+# A1 filtered/conditional set agg (reference: reconciliation.py:119-155)
+@_q(
+    "status_set_per_priority",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           CAST(COUNT(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END) AS BIGINT)
+             AS big_spenders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def status_set_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.countDistinct(
+            F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+        ).alias("big_spenders"),
+    )
+
+
+# §2.8 reshape: wide->long melt (reference: DatalogLogicCheck melt,
+# archive/dags/DatalogLogicCheck_worker_dag.py:269-296)
+@_q(
+    "melt_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount) AS (measure, val)",
+    )
+
+
+# A3/J8: pre-aggregate then cross-entity compare (reference:
+# rule_engine.py:456-506, p0_RC02_mileage_cross_check.yaml)
+@_q(
+    "order_total_cross_check",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
+                  AS DECIMAL(28,4))) AS DOUBLE) AS computed_total
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT o.o_orderkey, ROUND(li.computed_total, 0) AS computed_total_r,
+           ROUND(o.o_totalprice, 0) AS declared_total_r
+    FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    WHERE abs(li.computed_total - o.o_totalprice) > 400000
+    """,
+)
+def order_total_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 4
+            ).cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("computed_total")
+    )
+    o = spark.table("orders")
+    return (
+        o.join(agg, o.o_orderkey == agg.l_orderkey)
+        .filter(F.abs(F.col("computed_total") - F.col("o_totalprice")) > 400000)
+        .select(
+            "o_orderkey",
+            F.round("computed_total", 0).alias("computed_total_r"),
+            F.round("o_totalprice", 0).alias("declared_total_r"),
+        )
+    )
+
+
+# J5: as-of nearest join within tolerance (reference: join_asof
+# strategy='nearest' tolerance='5m', plugins/dq_lib/reconciliation.py:234-249)
+@_q(
+    "asof_nearest_match",
+    """
+    WITH le AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         ri AS (SELECT event_id AS click_id, user_id, ts AS rts FROM events
+                WHERE event_type = 'click'),
+         cand AS (
+           SELECT le.event_id, le.user_id, ri.click_id,
+                  abs(epoch_us(le.ts) - epoch_us(ri.rts)) AS diff_us,
+                  ROW_NUMBER() OVER (PARTITION BY le.event_id
+                    ORDER BY abs(epoch_us(le.ts) - epoch_us(ri.rts)), ri.rts, ri.click_id)
+                    AS rn
+           FROM le JOIN ri ON le.user_id = ri.user_id
+           WHERE abs(epoch_us(le.ts) - epoch_us(ri.rts)) <= 300000000)
+    SELECT le.event_id, le.user_id, c.click_id, c.diff_us
+    FROM le LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON le.event_id = c.event_id
+    """,
+)
+def asof_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recon import asof_nearest_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("rts")
+    )
+    m = asof_nearest_join(
+        left, right, "user_id", "ts", "rts", 300_000_000, how="left",
+        tiebreak=["click_id"],
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.abs(F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("rts").cast("timestamp"))).alias("diff_us"),
+    )
+
+
+# J6: loose range join + overlap predicate + best match (reference:
+# plugins/dq_lib/reconciliation.py:280-345)
+@_q(
+    "range_join_best_match",
+    """
+    WITH le AS (SELECT event_id, user_id, ts, CAST(floor(value / 50) AS BIGINT) AS vb
+                FROM events WHERE event_type = 'signup'),
+         ri AS (SELECT event_id AS purchase_id, user_id, ts AS rts,
+                       CAST(floor(value / 50) AS BIGINT) AS rvb
+                FROM events WHERE event_type = 'purchase'),
+         cand AS (
+           SELECT le.event_id, le.user_id, ri.purchase_id,
+                  abs(epoch_us(le.ts) - epoch_us(ri.rts)) AS diff_us,
+                  ROW_NUMBER() OVER (PARTITION BY le.event_id
+                    ORDER BY abs(epoch_us(le.ts) - epoch_us(ri.rts)), ri.rts, ri.purchase_id)
+                    AS rn
+           FROM le JOIN ri ON le.user_id = ri.user_id AND le.vb = ri.rvb
+           WHERE abs(epoch_us(le.ts) - epoch_us(ri.rts)) <= 10800000000)
+    SELECT event_id, user_id, purchase_id, diff_us FROM cand WHERE rn = 1
+    """,
+)
+def range_join_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recon import range_join_best
+
+    ev = _tbl(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts", F.floor(F.col("value") / 50).alias("vb")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("rts"),
+        F.floor(F.col("value") / 50).alias("rvb"),
+    )
+    m = range_join_best(
+        left,
+        right,
+        "user_id",
+        "ts",
+        "rts",
+        10_800_000_000,
+        extra_pred=F.col("vb") == F.col("rvb"),
+        left_key_cols=["event_id"],
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "purchase_id",
+        F.abs(F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("rts").cast("timestamp"))).alias("diff_us"),
+    )
+
+
+# J5+J6+J3: full two-tier reconciliation with matched_status (reference:
+# plugins/dq_lib/reconciliation.py:176-434 match_data)
+@_q(
+    "two_tier_reconciliation",
+    """
+    WITH le AS (SELECT event_id, user_id, ts, CAST(floor(value / 50) AS BIGINT) AS vb
+                FROM events WHERE event_type = 'error'),
+         ri AS (SELECT event_id AS rid, user_id, ts AS rts,
+                       CAST(floor(value / 50) AS BIGINT) AS rvb
+                FROM events WHERE event_type = 'click'),
+         c1 AS (
+           SELECT le.event_id, ri.rid,
+                  ROW_NUMBER() OVER (PARTITION BY le.event_id
+                    ORDER BY abs(epoch_us(le.ts) - epoch_us(ri.rts)), ri.rts, ri.rid) AS rn
+           FROM le JOIN ri ON le.user_id = ri.user_id
+           WHERE abs(epoch_us(le.ts) - epoch_us(ri.rts)) <= 300000000),
+         m1 AS (SELECT event_id, rid FROM c1 WHERE rn = 1),
+         rest AS (SELECT * FROM le WHERE event_id NOT IN (SELECT event_id FROM m1)),
+         c4 AS (
+           SELECT rest.event_id, ri.rid,
+                  ROW_NUMBER() OVER (PARTITION BY rest.event_id
+                    ORDER BY abs(epoch_us(rest.ts) - epoch_us(ri.rts)), ri.rts, ri.rid) AS rn
+           FROM rest JOIN ri ON rest.user_id = ri.user_id AND rest.vb = ri.rvb
+           WHERE abs(epoch_us(rest.ts) - epoch_us(ri.rts)) <= 10800000000),
+         m4 AS (SELECT event_id, rid FROM c4 WHERE rn = 1)
+    SELECT event_id, rid, 1 AS matched_status FROM m1
+    UNION ALL
+    SELECT event_id, rid, 4 FROM m4
+    UNION ALL
+    SELECT event_id, CAST(NULL AS BIGINT), 3 FROM rest
+    WHERE event_id NOT IN (SELECT event_id FROM m4)
+    """,
+)
+def two_tier_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recon import two_tier_match
+
+    ev = _tbl(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.floor(F.col("value") / 50).alias("vb")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        F.col("ts").alias("rts"),
+        F.floor(F.col("value") / 50).alias("rvb"),
+    )
+    m = two_tier_match(
+        left,
+        right,
+        "user_id",
+        "ts",
+        "rts",
+        strict_us=300_000_000,
+        loose_us=10_800_000_000,
+        loose_pred=F.col("vb") == F.col("rvb"),
+        left_id="event_id",
+        right_id="rid",
+    )
+    return m.select("event_id", "rid", F.col("matched_status").cast("int").alias("matched_status"))

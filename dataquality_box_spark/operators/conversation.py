@@ -74,11 +74,12 @@ def group_broadcast(df: DataFrame, key: str, aggs: dict[str, Column]) -> DataFra
     return out
 
 
-def top1_per_group(df: DataFrame, key: str, order: Column) -> DataFrame:
+def top1_per_group(df: DataFrame, key: str, order: Column | list[Column]) -> DataFrame:
     """Best row per group via row_number — the reference's
     ``sort().unique(keep='first')`` dedup (reference: plugins/dq_lib/
     reconciliation.py:345)."""
-    w = Window.partitionBy(key).orderBy(order)
+    orders = order if isinstance(order, list) else [order]
+    w = Window.partitionBy(key).orderBy(*orders)
     return (
         df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     )

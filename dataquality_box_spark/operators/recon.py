@@ -1,0 +1,135 @@
+"""Tolerance-join reconciliation operators (as-of / range / two-tier).
+
+Spark-first re-expression of the reference's two-tier matcher
+(reference: plugins/dq_lib/reconciliation.py:231-348):
+  L1 strict  — Polars ``join_asof(strategy='nearest', tolerance='5m',
+               by=vehicle)`` becomes equi-join on the group key + an
+               ``abs(Δt) <= tol`` predicate + row_number over abs(Δt)
+               (no native as-of join in Spark; the window-rank pattern
+               is the idiomatic equivalent and AQE handles skew).
+  L2 loose   — wider tolerance + a set-overlap predicate
+               (``array_intersect``), best candidate per left row.
+
+At scale: the equi-join on the group key shuffles both sides once; the
+tolerance predicate prunes pairs before the rank window. Never a
+cartesian product (the reference makes the same point at
+reconciliation.py:278-288).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int,
+    how: str = "left",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-within-tolerance match per left row, by group key ``on``.
+
+    Ties on |Δt| break by right timestamp, then ``tiebreak`` columns, so
+    the match is fully deterministic.
+    """
+    lt = F.col("__lt")
+    rt = F.col("__rt")
+    lef = left.withColumn("__lt", F.unix_micros(F.col(left_ts).cast("timestamp")))
+    rig = right.withColumn("__rt", F.unix_micros(F.col(right_ts).cast("timestamp")))
+    joined = lef.join(rig, on=on, how="inner").filter(
+        F.abs(lt - rt) <= F.lit(tolerance_us)
+    )
+    order = [F.abs(lt - rt).asc(), rt.asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*[F.col(c) for c in left.columns]).orderBy(*order)
+    best = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__lt", "__rt")
+    )
+    if how == "inner":
+        return best
+    # left join back so unmatched left rows survive with null right cols
+    return left.join(best, on=left.columns, how="left")
+
+
+def range_join_best(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int,
+    extra_pred: Column | None = None,
+    left_key_cols: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Loose range match: |Δt| <= tolerance plus an optional overlap
+    predicate; best (min |Δt|) candidate per left key."""
+    lef = left.withColumn("__lt", F.unix_micros(F.col(left_ts).cast("timestamp")))
+    rig = right.withColumn("__rt", F.unix_micros(F.col(right_ts).cast("timestamp")))
+    diff = F.abs(F.col("__lt") - F.col("__rt"))
+    joined = lef.join(rig, on=on, how="inner").filter(diff <= F.lit(tolerance_us))
+    if extra_pred is not None:
+        joined = joined.filter(extra_pred)
+    keys = left_key_cols or left.columns
+    order = [diff.asc(), F.col("__rt").asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__lt", "__rt")
+    )
+
+
+def two_tier_match(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    strict_us: int,
+    loose_us: int,
+    loose_pred: Column | None = None,
+    left_id: str = "id",
+    right_id: str = "rid",
+) -> DataFrame:
+    """Two-tier reconciliation with matched_status semantics
+    (reference: reconciliation.py:176-434):
+      1 = strict (asof within strict_us)      4 = loose (range + overlap)
+      3 = left-only orphan                     (right-only rows = status 2,
+                                                derivable by anti join)
+    Returns left rows + matched right id + status.
+    """
+    l1 = asof_nearest_join(
+        left, right, on, left_ts, right_ts, strict_us, how="inner", tiebreak=[right_id]
+    )
+    l1_ids = l1.select(left_id).distinct()
+    rest = left.join(l1_ids, on=left_id, how="left_anti")
+    l2 = range_join_best(
+        rest,
+        right,
+        on,
+        left_ts,
+        right_ts,
+        loose_us,
+        loose_pred,
+        left_key_cols=[left_id],
+        tiebreak=[right_id],
+    )
+    l2_ids = l2.select(left_id).distinct()
+    orphans = rest.join(l2_ids, on=left_id, how="left_anti")
+    out1 = l1.select(*left.columns, F.col(right_id)).withColumn(
+        "matched_status", F.lit(1)
+    )
+    out4 = l2.select(*left.columns, F.col(right_id)).withColumn(
+        "matched_status", F.lit(4)
+    )
+    out3 = orphans.select(
+        *left.columns, F.lit(None).cast("long").alias(right_id)
+    ).withColumn("matched_status", F.lit(3))
+    return out1.unionByName(out4).unionByName(out3)

@@ -84,6 +84,24 @@ class QualityConfig:
 
 DEFAULT_CONFIG = QualityConfig()
 
+# SQL-expressible subset: model-based scoring disabled entirely so an
+# ANSI-SQL oracle can reproduce keep/drop + scrub exactly.
+HEURISTIC_CONFIG = QualityConfig(
+    target_langs=(),
+    max_ppl=0.0,
+    dropping_reasons=(
+        "too_short",
+        "too_long",
+        "high_repetition",
+        "high_symbol_ratio",
+        "boilerplate",
+        "bad_role_sequence",
+        "broken_tool_chain",
+        "out_of_order_ts",
+        "toxicity",
+    ),
+)
+
 # A permissive config for mixed-language corpora (flagship entry over the
 # driver's multi-language documents table): language + ppl rules recorded
 # but not dropping.

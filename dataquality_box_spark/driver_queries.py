@@ -590,3 +590,179 @@ def two_tier_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_id="rid",
     )
     return m.select("event_id", "rid", F.col("matched_status").cast("int").alias("matched_status"))
+
+
+# ---------------------------------------------------------------------------
+# Transcript-domain queries (the quality_filter core), oracle-checked on the
+# deterministic transcripts derivation shared with DuckDB.
+
+from .config import (  # noqa: E402
+    BOILERPLATE_PREFIXES,
+    HEURISTIC_CONFIG,
+    TOXICITY_WORDS,
+)
+from .functions.scrub import scrub_sql, scrub_text  # noqa: E402
+from .functions.text import _escape_re  # noqa: E402
+from .sources.driver_tables import TRANSCRIPTS_SQL_DUCKDB, transcripts_view  # noqa: E402
+
+
+def _sql_quote(pat: str) -> str:
+    return pat.replace("'", "''")
+
+
+_BOIL_PAT = "^(?:" + "|".join(_escape_re(p) for p in BOILERPLATE_PREFIXES) + ")"
+_TOX_PAT = "(?i)\\b(?:" + "|".join(_escape_re(w) for w in TOXICITY_WORDS) + ")\\b"
+
+# DuckDB fragments mirroring functions/text.py exactly (same thresholds
+# from HEURISTIC_CONFIG; same explicit whitespace classes).
+_TOKENS = "list_filter(string_split_regex(text, '[ \\t\\n\\r]+'), x -> x <> '')"
+_FLAGS_SQL = f"""
+  len({_TOKENS}) AS n_tokens,
+  length(text) AS n_chars,
+  len({_TOKENS}) < {HEURISTIC_CONFIG.min_tokens} AS too_short,
+  length(text) > {HEURISTIC_CONFIG.max_chars} AS too_long,
+  (len({_TOKENS}) >= {HEURISTIC_CONFIG.repetition_min_tokens}
+   AND len(list_distinct({_TOKENS})) / len({_TOKENS})
+       < {HEURISTIC_CONFIG.repetition_distinct_ratio}) AS high_repetition,
+  (length(text) >= {HEURISTIC_CONFIG.symbol_min_chars}
+   AND length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) / length(text)
+       > {HEURISTIC_CONFIG.max_symbol_ratio}) AS high_symbol_ratio,
+  regexp_matches(text, '{_sql_quote(_BOIL_PAT)}') AS boilerplate,
+  regexp_matches(text, '{_sql_quote(_TOX_PAT)}') AS toxicity
+"""
+
+_CONV_FLAGS_SQL = """
+  (role IN ('user','assistant')
+   AND LAG(role) OVER w = role) AS bad_role_sequence,
+  (role = 'tool' AND COALESCE(
+     LAG(role) OVER w NOT IN ('assistant','tool'), TRUE)) AS broken_tool_chain,
+  COALESCE(ts < LAG(ts) OVER w, FALSE) AS out_of_order_ts
+"""
+
+
+# §2.8 string/regex family: compiled-regex PII scrub (reference:
+# container-number cleaning regexes, plugins/dq_lib/reconciliation.py:92-117)
+@_q(
+    "transcript_scrub_pii",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
+    SELECT conv_id, turn_idx, {scrub_sql('text')} AS scrubbed_text FROM t
+    """,
+)
+def transcript_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_view(spark, sf_dir)
+    return t.select("conv_id", "turn_idx", scrub_text(F.col("text")).alias("scrubbed_text"))
+
+
+# P4/P6: per-turn heuristic rule flags as named pre-compute columns
+# (reference: rule_engine.py:246-310)
+@_q(
+    "transcript_text_flags",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
+    SELECT conv_id, turn_idx,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(too_short AS INT) AS too_short,
+           CAST(too_long AS INT) AS too_long,
+           CAST(high_repetition AS INT) AS high_repetition,
+           CAST(high_symbol_ratio AS INT) AS high_symbol_ratio,
+           CAST(boilerplate AS INT) AS boilerplate,
+           CAST(toxicity AS INT) AS toxicity
+    FROM (SELECT conv_id, turn_idx, {_FLAGS_SQL} FROM t) f
+    """,
+)
+def transcript_text_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import n_chars, n_tokens, text_flag_columns
+
+    t = transcripts_view(spark, sf_dir)
+    flags = text_flag_columns(F.col("text"), HEURISTIC_CONFIG)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        n_tokens(F.col("text")).cast("long").alias("n_tokens"),
+        n_chars(F.col("text")).cast("long").alias("n_chars"),
+        *[flags[k].cast("int").alias(k) for k in
+          ("too_short", "too_long", "high_repetition", "high_symbol_ratio",
+           "boilerplate", "toxicity")],
+    )
+
+
+# W1/W2: conversation-window checks (reference: dq_lib/consistency.py:96-118)
+@_q(
+    "transcript_conversation_flags",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
+    SELECT conv_id, turn_idx,
+           CAST(COALESCE(bad_role_sequence, FALSE) AS INT) AS bad_role_sequence,
+           CAST(COALESCE(broken_tool_chain, FALSE) AS INT) AS broken_tool_chain,
+           CAST(out_of_order_ts AS INT) AS out_of_order_ts
+    FROM (SELECT conv_id, turn_idx, {_CONV_FLAGS_SQL}
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)) f
+    """,
+)
+def transcript_conversation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.conversation import with_conversation_flags
+
+    t = transcripts_view(spark, sf_dir)
+    out = with_conversation_flags(t, HEURISTIC_CONFIG)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("bad_role_sequence").cast("int").alias("bad_role_sequence"),
+        F.col("broken_tool_chain").cast("int").alias("broken_tool_chain"),
+        F.col("out_of_order_ts").cast("int").alias("out_of_order_ts"),
+    )
+
+
+# THE flagship oracle: full keep/drop + drop-reason taxonomy + scrub,
+# SQL-expressible subset (model scorers disabled) — per-turn parity with an
+# independent engine (north rule analog of matched_status + scrubbed text,
+# reference: reconciliation.py:349-434 + aggregator severity routing).
+@_q(
+    "transcript_keep_scrub",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    f AS (SELECT conv_id, turn_idx, text, {_FLAGS_SQL}, {_CONV_FLAGS_SQL}
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)),
+    d AS (SELECT conv_id, turn_idx, text,
+                 COALESCE(too_short, FALSE) AS r1,
+                 COALESCE(too_long, FALSE) AS r2,
+                 COALESCE(high_repetition, FALSE) AS r3,
+                 COALESCE(high_symbol_ratio, FALSE) AS r4,
+                 COALESCE(boilerplate, FALSE) AS r5,
+                 COALESCE(bad_role_sequence, FALSE) AS r6,
+                 COALESCE(broken_tool_chain, FALSE) AS r7,
+                 COALESCE(out_of_order_ts, FALSE) AS r8,
+                 COALESCE(toxicity, FALSE) AS r9
+          FROM f)
+    SELECT conv_id, turn_idx,
+           NOT (r1 OR r2 OR r3 OR r4 OR r5 OR r6 OR r7 OR r8 OR r9) AS keep,
+           COALESCE(array_to_string(list_filter([
+             CASE WHEN r1 THEN 'too_short' END,
+             CASE WHEN r2 THEN 'too_long' END,
+             CASE WHEN r3 THEN 'high_repetition' END,
+             CASE WHEN r4 THEN 'high_symbol_ratio' END,
+             CASE WHEN r5 THEN 'boilerplate' END,
+             CASE WHEN r6 THEN 'bad_role_sequence' END,
+             CASE WHEN r7 THEN 'broken_tool_chain' END,
+             CASE WHEN r8 THEN 'out_of_order_ts' END,
+             CASE WHEN r9 THEN 'toxicity' END], x -> x IS NOT NULL), ','), '')
+             AS drop_csv,
+           CASE WHEN NOT (r1 OR r2 OR r3 OR r4 OR r5 OR r6 OR r7 OR r8 OR r9)
+                THEN {scrub_sql('text')} END AS scrubbed_text
+    FROM d
+    """,
+)
+def transcript_keep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.pipeline import run_pipeline
+
+    t = transcripts_view(spark, sf_dir)
+    result = run_pipeline(t, HEURISTIC_CONFIG)
+    return result.select(
+        "conv_id",
+        "turn_idx",
+        "keep",
+        F.array_join("drop_reasons", ",").alias("drop_csv"),
+        "scrubbed_text",
+    )

@@ -766,3 +766,408 @@ def transcript_keep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("drop_reasons", ",").alias("drop_csv"),
         "scrubbed_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / similarity / text analysis
+# (beyond the reference's own inventory, per the build brief).
+
+# Exact dedup: hash-groupBy (duplicate texts across the derived transcripts)
+@_q(
+    "dedup_exact",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
+    SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM t GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_view(spark, sf_dir)
+    return (
+        t.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# Document fingerprint: whitespace-normalized content hash
+@_q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.lower(F.regexp_replace(F.col("text"), "[ \\t\\n\\r]+", " ")).cast("binary")
+        ).alias("fingerprint"),
+    )
+
+
+# Token-set Jaccard near-dup pairs (n-gram Jaccard with n=1 over the small
+# shared vocabulary; same shape as shingle-based dedup at scale)
+@_q(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents) u),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# MinHash signatures + 1-band LSH bucket (portable hash: md5 string-min,
+# so Spark and the SQL oracle agree bit-for-bit)
+@_q(
+    "minhash_signatures",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents) u)
+    SELECT doc_id,
+           MIN(md5(tok || '#0')) AS m0,
+           MIN(md5(tok || '#1')) AS m1,
+           MIN(md5(tok || '#2')) AS m2,
+           MIN(md5(tok || '#3')) AS m3,
+           substr(MIN(md5(tok || '#0')), 1, 8) AS band0
+    FROM toks GROUP BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    def mh(k: int):
+        return F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{k}")).cast("binary")))
+    return toks.groupBy("doc_id").agg(
+        mh(0).alias("m0"),
+        mh(1).alias("m1"),
+        mh(2).alias("m2"),
+        mh(3).alias("m3"),
+        F.substring(mh(0), 1, 8).alias("band0"),
+    )
+
+
+# MinHash LSH candidate buckets: docs sharing a band bucket
+@_q(
+    "minhash_lsh_buckets",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents) u),
+    sig AS (SELECT doc_id, substr(MIN(md5(tok || '#0')), 1, 8) AS band0
+            FROM toks GROUP BY doc_id)
+    SELECT band0, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM sig GROUP BY band0 HAVING COUNT(*) > 1
+    """,
+)
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    return (
+        sig.groupBy("band0")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# SimHash (16-bit, portable: high bit of each md5 hex nibble)
+_HI_NIBBLE = "('8','9','a','b','c','d','e','f')"
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n      ".join(
+        f"SUM(CASE WHEN substr(h, {k + 1}, 1) IN {_HI_NIBBLE} THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(16)
+    )
+    combine = " + ".join(f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, md5(tok) AS h
+      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents) u),
+    bits AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@_q("simhash16", _simhash_sql())
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
+        .distinct()
+    )
+    hi = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", k + 1, 1).isin(hi), 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(16)
+    ]
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    combine = None
+    for k in range(16):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        combine = term if combine is None else combine + term
+    return bits.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings + text analysis
+
+# Brute-force cosine top-k: deterministic cross-engine floats via ordered
+# fold of per-term rounded products (Spark aggregate == DuckDB list_reduce)
+_DOT_DUCK = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE), 9)), "
+    "(a, b) -> a + b)"
+)
+_NORM_DUCK = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "round(CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE), 9)), "
+    "(a, b) -> a + b)"
+)
+
+
+def _dot_spark(a, b):
+    prods = F.zip_with(
+        F.transform(a, lambda x: x.cast("double")),
+        F.transform(b, lambda x: x.cast("double")),
+        lambda x, y: F.round(x * y, 9),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+@_q(
+    "embedding_cosine_topk",
+    f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_DOT_DUCK} / (sqrt({_NORM_DUCK.format(t='q')}) * sqrt({_NORM_DUCK.format(t='c')}))
+               AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+      FROM pairs)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, cand_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    pairs = q.join(F.broadcast(c), F.col("cand_id") != F.col("query_id"))
+    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("cosine", cosine)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "cand_id",
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# Sign-LSH ANN buckets: 8 deterministic md5-derived hyperplane signs —
+# the scale path for similarity search (bucket first, brute-force within)
+def _lsh_proj_duck(j: int) -> str:
+    return (
+        "list_reduce(list_transform(range(1, 65), i -> "
+        f"round(CAST(embedding[i] AS DOUBLE) * (CASE WHEN substr(md5('{j}#' || CAST(i AS STRING)), 1, 1) "
+        "IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END), 9)), (a, b) -> a + b)"
+    )
+
+
+@_q(
+    "ann_lsh_buckets",
+    "SELECT vec_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN {_lsh_proj_duck(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+    )
+    + " AS BIGINT) AS bucket FROM embeddings",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _tbl(spark, sf_dir, "embeddings")
+    hi = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+    def make_signs(j: int):
+        # NB: the lambda must take exactly one arg — PySpark passes the
+        # array index as a second arg to 2-parameter lambdas.
+        pre = f"{j}#"
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(pre), i.cast("string")).cast("binary")), 1, 1
+                ).isin(hi),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    bucket = None
+    for j in range(8):
+        signs = make_signs(j)
+        prods = F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            signs,
+            lambda x, s: F.round(x * s, 9),
+        )
+        proj = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        term = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return e.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+# Language-ID heuristic: the pandas-UDF scorer vs a pure-SQL reimplementation
+# (verifies the vectorized-UDF path against an independent engine).
+from .functions.langdata import CJK_RE, MARKERS  # noqa: E402
+from .functions.scoring import _MIN_CHARS_FOR_LANGID, detect_lang_udf  # noqa: E402
+
+
+def _langid_sql(text_expr: str) -> str:
+    cnt = {
+        lang: f"len(regexp_extract_all(lower({text_expr}), '\\b(?:"
+        + "|".join(words)
+        + ")\\b'))"
+        for lang, words in MARKERS.items()
+    }
+    cjk = f"len(regexp_extract_all({text_expr}, '{CJK_RE}'))"
+    return f"""
+      CASE
+        WHEN length({text_expr}) < {_MIN_CHARS_FOR_LANGID} THEN 'und'
+        WHEN {cjk} / GREATEST(length({text_expr}), 1) > 0.25 THEN 'zh'
+        WHEN {cnt['en']} = 0 AND {cnt['fr']} = 0 AND {cnt['es']} = 0 AND {cnt['de']} = 0
+          THEN 'und'
+        WHEN {cnt['en']} >= GREATEST({cnt['fr']}, {cnt['es']}, {cnt['de']}) THEN 'en'
+        WHEN {cnt['fr']} >= GREATEST({cnt['es']}, {cnt['de']}) THEN 'fr'
+        WHEN {cnt['es']} >= {cnt['de']} THEN 'es'
+        ELSE 'de'
+      END
+    """
+
+
+@_q(
+    "doc_langid_udf_vs_sql",
+    f"SELECT doc_id, {_langid_sql('text')} AS lang_guess FROM documents",
+)
+def doc_langid_udf_vs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", detect_lang_udf(F.col("text")).alias("lang_guess"))
+
+
+# Token/char statistics per document source (text analysis rollup)
+@_q(
+    "doc_token_stats",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKENS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_TOKENS})) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.col("text")))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(nt).cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        (F.sum(nt).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+# Heuristic quality score (deterministic arithmetic, identical both engines)
+@_q(
+    "doc_quality_score",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({_TOKENS}) AS nt,
+             length(text) AS nc,
+             length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS nsym,
+             len(regexp_extract_all(lower(text),
+                 '\\b(?:{"|".join(MARKERS["en"])})\\b')) AS nstop
+      FROM documents)
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(1.0, nt / 50.0)
+                 + 0.3 * (1.0 - CASE WHEN nc > 0 THEN nsym / nc ELSE 0.0 END)
+                 + 0.3 * CASE WHEN nt > 0 THEN LEAST(1.0, 5.0 * nstop / nt) ELSE 0.0 END,
+                 6) AS quality_score
+    FROM f
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.col("text")))
+    nc = F.length("text")
+    nsym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 \\t\\n\\r]", ""))
+    stop_pat = "\\b(?:" + "|".join(MARKERS["en"]) + ")\\b"
+    nstop = F.regexp_count(F.lower(F.col("text")), F.lit(stop_pat))
+    score = (
+        0.4 * F.least(F.lit(1.0), nt / F.lit(50.0))
+        + 0.3 * (F.lit(1.0) - F.when(nc > 0, nsym / nc).otherwise(F.lit(0.0)))
+        + 0.3 * F.when(nt > 0, F.least(F.lit(1.0), F.lit(5.0) * nstop / nt)).otherwise(F.lit(0.0))
+    )
+    return d.select("doc_id", F.round(score, 6).alias("quality_score"))

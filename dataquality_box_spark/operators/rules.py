@@ -1,0 +1,215 @@
+"""Declarative YAML rule engine: expression DSL + filter/aggregate/cross_entity.
+
+Re-expression of the reference's rule engine (reference: plugins/operators/
+rule_engine.py:17-26 rule model, :246-285 pre_compute, :291-364
+filter/aggregate logic, :404-478 cross_entity, :512-535 sandboxed eval;
+rule YAML shapes: plugins/configs/rules/p0_R01.yaml,
+p0_RC02_mileage_cross_check.yaml). The sandbox exposes pyspark column
+builders instead of Polars expressions; rule files stay declarative.
+
+Rule YAML shape:
+    meta: {rule_id: R01, severity: P0, entity: transcripts}
+    logic:
+      type: filter | aggregate | cross_entity
+      pre_compute: [{name: c, expr: "col('a') + col('b')"}]   # optional
+      # filter:
+      filter_expr: "col('n_tokens') < 3"
+      # aggregate:
+      group_by: [conv_id]
+      aggregations: [{name: n, expr: "count('*')"}]
+      having_expr: "col('n') > 5"
+      # cross_entity:
+      right_entity: other
+      operation: anti_join | compare
+      join_keys: [k]
+      left_pre_agg / right_pre_agg: {group_by: [...], aggregations: [...]}
+      assertion: "col('a') != col('b')"   # compare: rows violating
+
+Error contract mirrors the reference (rule_engine.py:187-210): business
+errors (missing column, bad expression) mark the rule FAILED/SKIPPED and
+do not raise; system errors propagate.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+
+class RuleConfigError(ValueError):
+    pass
+
+
+_ALLOWED = {
+    "col": F.col,
+    "lit": F.lit,
+    "when": F.when,
+    "F": F,
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "countDistinct": F.countDistinct,
+    "abs": F.abs,
+    "coalesce": F.coalesce,
+    "length": F.length,
+    "upper": F.upper,
+    "lower": F.lower,
+}
+
+
+def parse_expr(expr: str) -> Column:
+    """Sandboxed expression -> Column (reference: rule_engine.py:512-535).
+
+    ``__builtins__`` is emptied; only the whitelisted column builders are
+    visible. Expressions are data, not code — same stance as the reference.
+    """
+    if not isinstance(expr, str) or not expr.strip():
+        raise RuleConfigError(f"empty expression: {expr!r}")
+    if "__" in expr:
+        raise RuleConfigError(f"forbidden token in expression: {expr!r}")
+    try:
+        return eval(expr, {"__builtins__": {}}, dict(_ALLOWED))  # noqa: S307
+    except RuleConfigError:
+        raise
+    except Exception as ex:
+        raise RuleConfigError(f"bad expression {expr!r}: {ex}") from ex
+
+
+@dataclass
+class Rule:
+    rule_id: str
+    severity: str
+    logic: dict[str, Any]
+    entity: str = "transcripts"
+    meta: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> Rule:
+        meta = d.get("meta") or {}
+        logic = d.get("logic") or {}
+        if "rule_id" not in meta or "type" not in logic:
+            raise RuleConfigError(f"rule missing meta.rule_id or logic.type: {d}")
+        if logic["type"] not in ("filter", "aggregate", "cross_entity"):
+            raise RuleConfigError(f"unknown logic.type {logic['type']!r}")
+        return cls(
+            rule_id=meta["rule_id"],
+            severity=meta.get("severity", "P2"),
+            logic=logic,
+            entity=meta.get("entity", "transcripts"),
+            meta=meta,
+        )
+
+
+@dataclass
+class RuleResult:
+    rule_id: str
+    status: str  # SUCCESS | FAILED | SKIPPED
+    hits: DataFrame | None
+    hit_count: int | None = None
+    reason: str | None = None
+
+
+def load_rules(path: str) -> list[Rule]:
+    """Load all rule YAMLs in a directory (reference: rule_scanner.py:52-101)."""
+    if yaml is None:  # pragma: no cover
+        raise RuntimeError("pyyaml unavailable")
+    rules = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith((".yaml", ".yml")):
+            continue
+        with open(os.path.join(path, fname)) as f:
+            rules.append(Rule.from_dict(yaml.safe_load(f)))
+    ids = [r.rule_id for r in rules]
+    if len(ids) != len(set(ids)):
+        raise RuleConfigError(f"duplicate rule_ids: {ids}")
+    return rules
+
+
+def _apply_pre_compute(df: DataFrame, logic: dict[str, Any]) -> DataFrame:
+    for item in logic.get("pre_compute") or []:
+        df = df.withColumn(item["name"], parse_expr(item["expr"]))
+    return df
+
+
+def _agg_exprs(items: list[dict[str, str]]) -> list[Column]:
+    return [parse_expr(i["expr"]).alias(i["name"]) for i in items]
+
+
+def evaluate_rule(
+    rule: Rule, df: DataFrame, others: dict[str, DataFrame] | None = None
+) -> RuleResult:
+    """Evaluate one rule; returns hits + status without raising on
+    business errors (reference: rule_engine.py:91-210)."""
+    try:
+        hits = _evaluate(rule, df, others or {})
+        return RuleResult(rule.rule_id, "SUCCESS", hits)
+    except RuleConfigError as ex:
+        return RuleResult(rule.rule_id, "FAILED", None, reason=str(ex))
+    except Exception as ex:  # analysis errors -> missing column etc.
+        name = type(ex).__name__
+        if "AnalysisException" in name or "UNRESOLVED" in str(ex):
+            return RuleResult(rule.rule_id, "SKIPPED", None, reason=f"{name}: {ex}")
+        raise
+
+
+def _evaluate(rule: Rule, df: DataFrame, others: dict[str, DataFrame]) -> DataFrame:
+    logic = rule.logic
+    kind = logic["type"]
+    df = _apply_pre_compute(df, logic)
+    sev = F.lit(rule.severity).alias("_severity")
+    rid = F.lit(rule.rule_id).alias("_rule_id")
+
+    if kind == "filter":
+        hits = df.filter(parse_expr(logic["filter_expr"]))
+        return hits.select("*", sev, rid)
+
+    if kind == "aggregate":
+        group = logic.get("group_by") or []
+        agged = df.groupBy(*group).agg(*_agg_exprs(logic["aggregations"]))
+        having = logic.get("having_expr")
+        if having:
+            agged = agged.filter(parse_expr(having))
+        return agged.select("*", sev, rid)
+
+    # cross_entity
+    right_name = logic.get("right_entity")
+    if right_name not in others:
+        raise RuleConfigError(f"right_entity {right_name!r} not provided")
+    right = _apply_pre_compute(others[right_name], {"pre_compute": logic.get("right_pre_compute")})
+    left = df
+    for side, key in (("left_pre_agg", "left"), ("right_pre_agg", "right")):
+        spec = logic.get(side)
+        if spec:
+            target = left if key == "left" else right
+            agged = target.groupBy(*spec["group_by"]).agg(*_agg_exprs(spec["aggregations"]))
+            if key == "left":
+                left = agged
+            else:
+                right = agged
+    keys = logic["join_keys"]
+    op = logic.get("operation", "compare")
+    if op == "anti_join":
+        hits = left.join(right, on=keys, how="left_anti")
+        return hits.select("*", sev, rid)
+    joined = left.join(right, on=keys, how="left")
+    assertion = logic.get("assertion")
+    if assertion:
+        joined = joined.filter(parse_expr(assertion))
+    return joined.select("*", sev, rid)
+
+
+def run_rules(
+    rules: list[Rule], df: DataFrame, others: dict[str, DataFrame] | None = None
+) -> list[RuleResult]:
+    return [evaluate_rule(r, df, others) for r in rules]

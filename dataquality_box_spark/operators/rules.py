@@ -79,7 +79,9 @@ def parse_expr(expr: str) -> Column:
     if "__" in expr:
         raise RuleConfigError(f"forbidden token in expression: {expr!r}")
     try:
-        return eval(expr, {"__builtins__": {}}, dict(_ALLOWED))  # noqa: S307
+        # whitelist goes in globals (not locals) so lambdas in expressions
+        # can resolve the names at call time
+        return eval(expr, {"__builtins__": {}, **_ALLOWED})  # noqa: S307
     except RuleConfigError:
         raise
     except Exception as ex:

@@ -1,0 +1,139 @@
+"""Resumable partitioned pipeline: RAW -> RESULT with per-partition commits.
+
+The Spark re-expression of the reference's staged lifecycle (SURVEY.md
+§3.1: Loader -> Adapter -> rules -> Aggregator, one Airflow task process
+per stage with parquet+XCom handoff) as TWO checkpointed stages:
+
+  ingest   — bucket the input by conv_id into ``n_partitions`` hive
+             partitions (one shuffle; this is the explicit repartition
+             before the shuffle-heavy grouped stage the north rule asks
+             for). Conversations never straddle partitions, so every
+             later stage is embarrassingly parallel across partitions.
+  process  — per partition: full filter+scrub pipeline (window flags are
+             correct because the partition holds whole conversations),
+             INSERT OVERWRITE of kept turns + ledger entry with
+             drop-reason metrics.
+
+Idempotency: re-running a partition overwrites its directory; the ledger
+is appended only after the data commit. Resume = skip ledger-SUCCESS
+partitions. Killing the job mid-run and re-invoking replays only
+unfinished partitions and produces byte-identical output (tested).
+
+At 100 TB: ``ingest`` is the only full shuffle; each ``process`` partition
+is an independent Iceberg partition job, so a 1000-executor cluster runs
+partitions concurrently and a lost executor costs one partition replay,
+not the job.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, QualityConfig
+from ..sources.tableio import TableIO
+from .ledger import Ledger, LedgerEntry
+from .pipeline import kept_turns, run_pipeline
+
+PART_COL = "part_id"
+
+
+def ingest(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    io: TableIO,
+    n_partitions: int = 8,
+    batch_id: str = "batch0",
+) -> None:
+    """Stage 0: bucket by conv_id into hive partitions (idempotent whole-stage)."""
+    ledger = Ledger(f"{io.root}/_ledger.jsonl")
+    if "raw" in {e.stage for e in ledger.entries() if e.status == "SUCCESS"}:
+        return
+    t0 = time.time()
+    bucketed = transcripts.withColumn(
+        PART_COL, F.pmod(F.crc32(F.col("conv_id").cast("binary")), F.lit(n_partitions))
+    )
+    # one shuffle, partition-dir layout — every downstream stage prunes
+    (
+        bucketed.repartition(n_partitions, PART_COL)
+        .write.mode("overwrite")
+        .partitionBy(PART_COL)
+        .option("compression", io.compression)
+        .parquet(f"{io.root}/raw")
+    )
+    n = spark.read.parquet(f"{io.root}/raw").count()
+    ledger.append(
+        LedgerEntry("raw", "__all__", "SUCCESS", rows_in=n, duration_sec=time.time() - t0,
+                    batch_id=batch_id)
+    )
+
+
+def process_partitions(
+    spark: SparkSession,
+    io: TableIO,
+    cfg: QualityConfig = DEFAULT_CONFIG,
+    n_partitions: int = 8,
+    batch_id: str = "batch0",
+    fail_after: int | None = None,
+) -> list[str]:
+    """Stage 1: filter+scrub each unprocessed partition; returns the
+    partitions processed this invocation. ``fail_after`` injects a crash
+    after N partitions (for resume tests)."""
+    ledger = Ledger(f"{io.root}/_ledger.jsonl")
+    done = ledger.done("process")
+    processed = []
+    for k in range(n_partitions):
+        pid = str(k)
+        if pid in done:
+            continue
+        if fail_after is not None and len(processed) >= fail_after:
+            raise RuntimeError(f"injected failure after {fail_after} partitions")
+        t0 = time.time()
+        part = spark.read.parquet(f"{io.root}/raw/{PART_COL}={k}")
+        result = run_pipeline(part, cfg)
+        kept = kept_turns(result)
+        io.overwrite_partition(
+            kept.withColumn(PART_COL, F.lit(k)), "result", PART_COL, k
+        )
+        # metrics from one aggregation over the annotated frame
+        counts = (
+            result.select(F.explode_outer("drop_reasons").alias("r"))
+            .groupBy("r")
+            .count()
+            .collect()
+        )
+        reason_counts = {row["r"]: row["count"] for row in counts if row["r"] is not None}
+        rows_in = result.select(F.count("*"), F.sum(F.col("keep").cast("long"))).first()
+        n_in, n_kept = int(rows_in[0]), int(rows_in[1] or 0)
+        ledger.append(
+            LedgerEntry(
+                "process",
+                pid,
+                "SUCCESS",
+                rows_in=n_in,
+                rows_kept=n_kept,
+                rows_dropped=n_in - n_kept,
+                drop_reason_counts=reason_counts,
+                duration_sec=time.time() - t0,
+                batch_id=batch_id,
+            )
+        )
+        processed.append(pid)
+    return processed
+
+
+def run_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    root: str,
+    cfg: QualityConfig = DEFAULT_CONFIG,
+    n_partitions: int = 8,
+    fail_after: int | None = None,
+) -> DataFrame:
+    """ingest + process all partitions; returns the kept-turns table."""
+    io = TableIO(root)
+    ingest(spark, transcripts, io, n_partitions)
+    process_partitions(spark, io, cfg, n_partitions, fail_after=fail_after)
+    return io.read(spark, "result")

@@ -1,0 +1,80 @@
+"""Iceberg-shaped table IO with a partitioned-parquet fallback.
+
+The reference persists every stage as hive-layout parquet partitions with
+explicit delete-before-write idempotency (reference: plugins/infra/
+io_strategy.py:43-120 write/read/clean, plugins/infra/operators.py:335-372
+_clean_partition). Here the same contract is one seam:
+
+  * ``catalog`` mode (real cluster): ``df.writeTo(table).overwritePartitions()``
+    on Iceberg — snapshot-isolated, idempotent per partition.
+  * fallback mode (this sandbox, no Iceberg jar): hive-layout parquet
+    ``root/table/<part_col>=<value>/`` written with mode=overwrite, which
+    has the same idempotent-replace semantics per partition directory.
+
+All writer call sites go through TableIO so swapping in Iceberg is a
+constructor argument, not a code change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableIO:
+    def __init__(self, root: str, catalog: str | None = None, compression: str = "zstd"):
+        self.root = root
+        self.catalog = catalog  # e.g. "iceberg_cat.db" when the jar exists
+        self.compression = compression
+
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _part_dir(self, table: str, part_col: str, value) -> str:
+        return os.path.join(self._dir(table), f"{part_col}={value}")
+
+    def overwrite_partition(
+        self, df: DataFrame, table: str, part_col: str, value
+    ) -> None:
+        """Idempotent partition replace (INSERT OVERWRITE semantics)."""
+        if self.catalog:
+            (
+                df.writeTo(f"{self.catalog}.{table}")
+                .option("compression-codec", self.compression)
+                .overwritePartitions()
+            )
+            return
+        out = self._part_dir(table, part_col, value)
+        (
+            df.drop(part_col)
+            .write.mode("overwrite")
+            .option("compression", self.compression)
+            .parquet(out)
+        )
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        if self.catalog:
+            return spark.read.table(f"{self.catalog}.{table}")
+        return spark.read.option("basePath", self._dir(table)).parquet(self._dir(table))
+
+    def read_partition(self, spark: SparkSession, table: str, part_col: str, value) -> DataFrame:
+        if self.catalog:
+            return (
+                spark.read.table(f"{self.catalog}.{table}").filter(F.col(part_col) == value)
+            )
+        # directory-level read == partition pruning in the fallback
+        return spark.read.parquet(self._part_dir(table, part_col, value))
+
+    def drop_partition(self, table: str, part_col: str, value) -> None:
+        if self.catalog:
+            raise NotImplementedError("use overwritePartitions on catalog tables")
+        shutil.rmtree(self._part_dir(table, part_col, value), ignore_errors=True)
+
+    def partition_exists(self, table: str, part_col: str, value) -> bool:
+        if self.catalog:
+            raise NotImplementedError
+        d = self._part_dir(table, part_col, value)
+        return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))

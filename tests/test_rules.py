@@ -1,0 +1,85 @@
+"""YAML rule engine tests (reference contract: rule_engine.py:91-210)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_box_spark.operators.rules import (
+    Rule,
+    RuleConfigError,
+    evaluate_rule,
+    load_rules,
+    parse_expr,
+    run_rules,
+)
+
+
+def test_load_rules_dir():
+    rules = load_rules("rules")
+    assert {r.rule_id for r in rules} == {
+        "R01_too_short", "R02_role_enum", "R09_conv_volume", "RC02_missing_convs",
+    }
+
+
+def test_parse_expr_sandbox_blocks_dunder():
+    with pytest.raises(RuleConfigError):
+        parse_expr("().__class__")
+    with pytest.raises(RuleConfigError):
+        parse_expr("open('/etc/passwd')")
+
+
+def test_filter_and_aggregate_rules(spark, transcripts_df):
+    rules = load_rules("rules")
+    registry = transcripts_df.select("conv_id").distinct().limit(50)
+    results = run_rules(rules, transcripts_df, {"conv_registry": registry})
+    by_id = {r.rule_id: r for r in results}
+    assert by_id["R01_too_short"].status == "SUCCESS"
+    n_short = by_id["R01_too_short"].hits.count()
+    # every hit satisfies the predicate and carries severity + rule id
+    row = by_id["R01_too_short"].hits.select("_severity", "_rule_id").first()
+    assert (row["_severity"], row["_rule_id"]) == ("P0", "R01_too_short")
+    assert n_short > 0
+    assert by_id["R02_role_enum"].hits.count() == 0  # enum is clean
+    assert by_id["R09_conv_volume"].status == "SUCCESS"
+    # anti-join: conversations missing from the 50-conv registry
+    anti = by_id["RC02_missing_convs"]
+    assert anti.status == "SUCCESS"
+    n_convs = transcripts_df.select("conv_id").distinct().count()
+    assert anti.hits.count() == n_convs - 50
+
+
+def test_missing_column_is_skipped(spark, transcripts_df):
+    rule = Rule.from_dict(
+        {
+            "meta": {"rule_id": "bad", "severity": "P0"},
+            "logic": {"type": "filter", "filter_expr": "col('no_such_column') > lit(1)"},
+        }
+    )
+    res = evaluate_rule(rule, transcripts_df)
+    # business error: SKIPPED (or FAILED), never raises
+    assert res.status in ("SKIPPED", "FAILED")
+    assert res.hits is None
+
+
+def test_compare_cross_entity(spark, transcripts_df):
+    rule = Rule.from_dict(
+        {
+            "meta": {"rule_id": "cmp", "severity": "P1"},
+            "logic": {
+                "type": "cross_entity",
+                "right_entity": "conv_stats",
+                "operation": "compare",
+                "join_keys": ["conv_id"],
+                "left_pre_agg": {
+                    "group_by": ["conv_id"],
+                    "aggregations": [{"name": "n", "expr": "count(lit(1))"}],
+                },
+                "assertion": "col('n') != col('expected_n')",
+            },
+        }
+    )
+    stats = transcripts_df.groupBy("conv_id").agg(F.count("*").alias("expected_n"))
+    res = evaluate_rule(rule, transcripts_df, {"conv_stats": stats})
+    assert res.status == "SUCCESS"
+    assert res.hits.count() == 0  # self-derived stats always agree

@@ -816,7 +816,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (
       SELECT DISTINCT doc_id, tok
-      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents) u),
+      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents WHERE doc_id % 10 = 3) u),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -833,7 +833,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import tokens
 
-    d = _tbl(spark, sf_dir, "documents")
+    d = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = toks.alias("a")
@@ -1081,17 +1081,20 @@ from .functions.scoring import _MIN_CHARS_FOR_LANGID, detect_lang_udf  # noqa: E
 
 
 def _langid_sql(text_expr: str) -> str:
+    from .functions.scoring import LANGID_PREFIX
+
+    head = f"substr({text_expr}, 1, {LANGID_PREFIX})"
     cnt = {
-        lang: f"len(regexp_extract_all(lower({text_expr}), '\\b(?:"
+        lang: f"len(regexp_extract_all(lower({head}), '\\b(?:"
         + "|".join(words)
         + ")\\b'))"
         for lang, words in MARKERS.items()
     }
-    cjk = f"len(regexp_extract_all({text_expr}, '{CJK_RE}'))"
+    cjk = f"len(regexp_extract_all({head}, '{CJK_RE}'))"
     return f"""
       CASE
         WHEN length({text_expr}) < {_MIN_CHARS_FOR_LANGID} THEN 'und'
-        WHEN {cjk} / GREATEST(length({text_expr}), 1) > 0.25 THEN 'zh'
+        WHEN {cjk} / GREATEST(length({head}), 1) > 0.25 THEN 'zh'
         WHEN {cnt['en']} = 0 AND {cnt['fr']} = 0 AND {cnt['es']} = 0 AND {cnt['de']} = 0
           THEN 'und'
         WHEN {cnt['en']} >= GREATEST({cnt['fr']}, {cnt['es']}, {cnt['de']}) THEN 'en'
@@ -1171,3 +1174,275 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * F.when(nt > 0, F.least(F.lit(1.0), F.lit(5.0) * nstop / nt)).otherwise(F.lit(0.0))
     )
     return d.select("doc_id", F.round(score, 6).alias("quality_score"))
+
+
+# ---------------------------------------------------------------------------
+# Remaining scalar-function families + sort/limit + set ops
+
+# O2: deterministic top-k by sort (reference: metrics.py:134-136 top-20
+# worst errors; data_quality_runner.py:950 sample caps)
+@_q(
+    "topk_events_by_value",
+    """
+    SELECT event_id, user_id, value FROM events
+    ORDER BY value DESC, event_id LIMIT 20
+    """,
+)
+def topk_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.select("event_id", "user_id", "value").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    ).limit(20)
+
+
+# U2: EXCEPT ALL (full-row set difference; reference expresses it via anti
+# joins, completeness.py:18-20 — here the column-wise variant)
+@_q(
+    "except_all_returns",
+    """
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linestatus = 'F' AND l_quantity > 25
+    """,
+)
+def except_all_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey")
+    b = li.filter((F.col("l_linestatus") == "F") & (F.col("l_quantity") > 25)).select(
+        "l_orderkey", "l_partkey"
+    )
+    return a.exceptAll(b)
+
+
+# §2.8 datetime family (reference: reconciliation.py:59-81 strptime/tz,
+# consistency.py:36-39 total_seconds)
+@_q(
+    "event_time_features",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d') AS day_str,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           dayname(ts) AS dow_name,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_trunc,
+           epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS us_since_base
+    FROM events
+    """,
+)
+def event_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.date_format(ts, "yyyy-MM-dd").alias("day_str"),
+        F.hour(ts).cast("int").alias("hour_of_day"),
+        F.date_format(ts, "EEEE").alias("dow_name"),
+        F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss").alias("hour_trunc"),
+        (
+            F.unix_micros(ts)
+            - F.unix_micros(F.to_timestamp(F.lit("2024-01-01")))
+        ).alias("us_since_base"),
+    )
+
+
+# §2.8 JSON family (reference: profiling_json rows,
+# data_quality_runner.py:119-120; extra_attributes JSON-in-string)
+@_q(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                THEN 'high' ELSE 'low' END AS k_bucket
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.when(k > 50, F.lit("high")).otherwise(F.lit("low")).alias("k_bucket"),
+    )
+
+
+# A7: matched-subset conditional mean (reference: metrics.py:121-122)
+@_q(
+    "conditional_mean_value",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0)
+             AS avg_purchase_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases
+    FROM events GROUP BY user_id
+    """,
+)
+def conditional_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    psum = F.sum(
+        F.when(is_p, F.col("value").cast("decimal(18,2)")).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    pcnt = F.sum(is_p.cast("long"))
+    return ev.groupBy("user_id").agg(
+        (psum / F.nullif(pcnt, F.lit(0))).alias("avg_purchase_value"),
+        pcnt.alias("n_purchases"),
+    )
+
+
+# F4: pandera-style declarative validation -> violation counts
+# (reference: plugins/services/data_validator.py:8-51)
+@_q(
+    "schema_validation_summary",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+      CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value,
+      CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+               THEN 1 ELSE 0 END) AS BIGINT) AS bad_enum,
+      CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                    OR ts > TIMESTAMP '2026-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+        AS ts_out_of_range,
+      CAST(COUNT(*) AS BIGINT) AS rows_checked
+    FROM events
+    """,
+)
+def schema_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    def cnt(cond):
+        return F.sum(cond.cast("long"))
+    return ev.agg(
+        cnt(F.col("event_id").isNull()).alias("null_event_id"),
+        cnt(F.col("value").isNull()).alias("null_value"),
+        cnt(F.col("value") < 0).alias("negative_value"),
+        cnt(~F.col("event_type").isin("click", "view", "purchase", "signup", "error")).alias(
+            "bad_enum"
+        ),
+        cnt(
+            (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") > F.lit("2026-01-01").cast("timestamp"))
+        ).alias("ts_out_of_range"),
+        F.count("*").alias("rows_checked"),
+    )
+
+
+# §2.8 array family: per-row list ops (reference: metrics.py:61-106
+# concat_list / set_intersection / list.len)
+@_q(
+    "array_ops_tokens",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           CAST(len(list_intersect(list_distinct(toks),
+                ['the','data','spark','table','query'])) AS INT) AS n_keywords,
+           array_to_string(list_sort(list_intersect(list_distinct(toks),
+                ['the','data','spark','table','query'])), ',') AS keywords_csv,
+           toks[1] AS first_tok
+    FROM d
+    """,
+)
+def array_ops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    kw = F.array(*[F.lit(w) for w in ("the", "data", "spark", "table", "query")])
+    toks = tokens(F.col("text"))
+    inter = F.array_intersect(F.array_distinct(toks), kw)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        F.size(inter).cast("int").alias("n_keywords"),
+        F.array_join(F.array_sort(inter), ",").alias("keywords_csv"),
+        F.element_at(toks, 1).alias("first_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Profiling + pipeline metrics as oracle-checked queries
+
+# Column profiling rows (reference: profiling_json upserts,
+# plugins/services/data_quality_runner.py:119-120,747-782)
+@_q(
+    "profile_orders_columns",
+    """
+    SELECT 'o_totalprice' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_totalprice) AS VARCHAR) AS min_str,
+           CAST(MAX(o_totalprice) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _tbl(spark, sf_dir, "orders")
+
+    def prof(col: str):
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_str"),
+            F.max(col).cast("string").alias("max_str"),
+        )
+
+    return prof("o_totalprice").unionByName(prof("o_orderpriority")).unionByName(
+        prof("o_custkey")
+    )
+
+
+# Per-conversation pipeline metrics (lineage emission, reference:
+# governance_rule_results rows, plugins/operators/report_writer.py:116-171)
+@_q(
+    "transcript_conv_metrics",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    f AS (SELECT conv_id, turn_idx, {_FLAGS_SQL}, {_CONV_FLAGS_SQL}
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)),
+    d AS (SELECT conv_id,
+                 NOT (COALESCE(too_short, FALSE) OR COALESCE(too_long, FALSE)
+                      OR COALESCE(high_repetition, FALSE)
+                      OR COALESCE(high_symbol_ratio, FALSE)
+                      OR COALESCE(boilerplate, FALSE)
+                      OR COALESCE(bad_role_sequence, FALSE)
+                      OR COALESCE(broken_tool_chain, FALSE)
+                      OR COALESCE(out_of_order_ts, FALSE)
+                      OR COALESCE(toxicity, FALSE)) AS keep
+          FROM f)
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS rows_in,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS rows_dropped
+    FROM d GROUP BY conv_id
+    """,
+)
+def transcript_conv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.pipeline import conversation_metrics, run_pipeline
+
+    t = transcripts_view(spark, sf_dir)
+    result = run_pipeline(t, HEURISTIC_CONFIG)
+    return conversation_metrics(result)

@@ -28,24 +28,30 @@ _MARKER_PATTERNS = {
 }
 _MIN_CHARS_FOR_LANGID = 8
 _CJK_RATIO_THRESHOLD = 0.25
+# counting runs on a fixed prefix — fastText-style length cap; cuts regex
+# cost on long documents without hurting detection
+LANGID_PREFIX = 256
 
 
 def detect_lang_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized language ID: marker-word hit counts + CJK ratio.
+    """Vectorized language ID: marker-word hit counts + CJK ratio over the
+    first LANGID_PREFIX chars.
 
     Returns one of en/fr/es/de/zh/und per row. All counting happens in
     pandas' C string kernels — no Python-level row loop.
     """
     s = texts.fillna("").astype(str)
-    lower = s.str.lower()
+    head = s.str.slice(0, LANGID_PREFIX)
+    lower = head.str.lower()
     n = len(s)
     counts = np.zeros((len(_MARKER_PATTERNS), n), dtype=np.int64)
     langs = list(_MARKER_PATTERNS)
     for i, lang in enumerate(langs):
         counts[i] = lower.str.count(_MARKER_PATTERNS[lang]).to_numpy()
-    cjk = s.str.count(CJK_RE).to_numpy()
+    cjk = head.str.count(CJK_RE).to_numpy()
+    head_chars = head.str.len().to_numpy()
     total_chars = s.str.len().to_numpy()
-    cjk_ratio = np.divide(cjk, np.maximum(total_chars, 1))
+    cjk_ratio = np.divide(cjk, np.maximum(head_chars, 1))
 
     best_idx = counts.argmax(axis=0)
     best_cnt = counts.max(axis=0)
@@ -83,6 +89,13 @@ def _train_bigram_logprobs() -> np.ndarray:
 
 
 _LP = _train_bigram_logprobs()
+# flat table with the separator row/col zeroed: scoring needs ONE gather
+# per bigram and no validity mask — the hot loop at 10^12 turns
+_LP_FLAT = _LP.copy()
+_LP_FLAT[_SEP_CLASS, :] = 0.0
+_LP_FLAT[:, _SEP_CLASS] = 0.0
+_LP_FLAT = np.ascontiguousarray(_LP_FLAT.reshape(-1))
+_TABLE32 = _TABLE.astype(np.int32)
 
 
 def perplexity_batch(texts: pd.Series) -> pd.Series:
@@ -96,10 +109,11 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     b = np.frombuffer(joined.encode("ascii", "replace"), dtype=np.uint8)
     if len(b) < 2:
         return pd.Series(np.ones(len(s)), index=texts.index)
-    ids = _TABLE[b]
-    lp = _LP[ids[:-1], ids[1:]]
-    valid = (ids[:-1] != _SEP_CLASS) & (ids[1:] != _SEP_CLASS)
-    lp = np.where(valid, lp, 0.0)
+    ids = _TABLE32[b]
+    # one fused gather: separator bigrams score 0.0 via the zeroed row/col
+    flat = ids[:-1] * _N_CLASSES
+    flat += ids[1:]
+    lp = _LP_FLAT[flat]
     # ascii-'replace' keeps 1 byte per char, so offsets follow string lengths
     lengths = s.str.len().to_numpy()
     starts = np.zeros(len(s), dtype=np.int64)
@@ -113,7 +127,21 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(ppl, index=texts.index)
 
 
+def score_batch(texts: pd.Series) -> pd.DataFrame:
+    """Combined scorer: one text materialization, both models."""
+    return pd.DataFrame(
+        {"lang": detect_lang_batch(texts), "ppl": perplexity_batch(texts)},
+        index=texts.index,
+    )
+
+
 # ------------------------------------------------------------- Spark UDFs
 
 detect_lang_udf = F.pandas_udf(detect_lang_batch, T.StringType())
 perplexity_udf = F.pandas_udf(perplexity_batch, T.DoubleType())
+
+_SCORE_TYPE = T.StructType(
+    [T.StructField("lang", T.StringType()), T.StructField("ppl", T.DoubleType())]
+)
+# single Arrow round trip for both scores (halves UDF transfer cost)
+score_udf = F.pandas_udf(score_batch, _SCORE_TYPE)

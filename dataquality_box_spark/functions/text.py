@@ -22,8 +22,14 @@ WS = "[ \\t\\n\\r]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens with empties removed (== Python re.findall(r'\\S+'))."""
-    return F.filter(F.split(text, WS + "+"), lambda x: x != F.lit(""))
+    """Whitespace tokens with empties removed (== Python re.findall(r'\\S+')).
+
+    ``array_remove`` instead of a higher-order ``filter(lambda)``: lambda
+    expressions run interpreted through a shared NamedLambdaVariable and
+    serialize badly across task threads; array_remove is codegen'd and
+    has identical remove-all-empties semantics.
+    """
+    return F.array_remove(F.split(text, WS + "+"), "")
 
 
 def n_tokens(text: Column) -> Column:
@@ -65,19 +71,27 @@ def has_toxicity(text: Column, words: tuple[str, ...] = TOXICITY_WORDS) -> Colum
     return F.coalesce(text.rlike(pat), F.lit(False))
 
 
-def text_flag_columns(text: Column, cfg: QualityConfig) -> dict[str, Column]:
+def text_flag_columns(
+    text: Column, cfg: QualityConfig, toks: Column | None = None
+) -> dict[str, Column]:
     """All per-turn text rule flags as named boolean Columns.
 
     Mirrors the reference's named pre_compute columns feeding filter rules
     (reference: plugins/operators/rule_engine.py:246-285).
+
+    Pass ``toks`` (a materialized ``tokens(text)`` column) to avoid
+    re-evaluating the tokenizing split per flag — at 10^12 turns the
+    tokenizer is the hottest JVM expression in the plan.
     """
-    nt = n_tokens(text)
+    toks = tokens(text) if toks is None else toks
+    nt = F.size(toks)
     nc = n_chars(text)
+    dratio = F.when(nt > 0, F.size(F.array_distinct(toks)) / nt).otherwise(F.lit(1.0))
     return {
         "too_short": nt < cfg.min_tokens,
         "too_long": nc > cfg.max_chars,
         "high_repetition": (nt >= cfg.repetition_min_tokens)
-        & (distinct_token_ratio(text) < cfg.repetition_distinct_ratio),
+        & (dratio < cfg.repetition_distinct_ratio),
         "high_symbol_ratio": (nc >= cfg.symbol_min_chars)
         & (symbol_ratio(text) > cfg.max_symbol_ratio),
         "boilerplate": is_boilerplate(text),

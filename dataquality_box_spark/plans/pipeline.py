@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, QualityConfig
-from ..functions.scoring import detect_lang_udf, perplexity_udf
+from ..functions.scoring import score_udf
 from ..functions.scrub import scrub_text
 from ..functions.text import text_flag_columns
 from ..operators.conversation import with_conversation_flags
@@ -29,12 +29,23 @@ from ..schema import CONVERSATION_REASONS, DROP_REASONS
 
 
 def annotate_turns(df: DataFrame, cfg: QualityConfig) -> DataFrame:
-    """Per-turn features: text rule flags + lang + ppl. Narrow (no shuffle)."""
-    out = df
-    for name, col in text_flag_columns(F.col("text"), cfg).items():
+    """Per-turn features: text rule flags + lang + ppl. Narrow (no shuffle).
+
+    The tokenizer column is materialized once and shared by every flag,
+    and both model scores ride one Arrow round trip (score_udf) — the two
+    hot spots at 10^12-turn scale.
+    """
+    from ..functions.text import tokens
+
+    out = df.withColumn("__toks", tokens(F.col("text")))
+    for name, col in text_flag_columns(F.col("text"), cfg, toks=F.col("__toks")).items():
         out = out.withColumn(name, col)
-    out = out.withColumn("lang", detect_lang_udf(F.col("text")))
-    out = out.withColumn("ppl", perplexity_udf(F.col("text")))
+    out = out.withColumn("__score", score_udf(F.col("text")))
+    out = (
+        out.withColumn("lang", F.col("__score.lang"))
+        .withColumn("ppl", F.col("__score.ppl"))
+        .drop("__score", "__toks")
+    )
     out = out.withColumn("wrong_language", wrong_language_flag(F.col("lang"), cfg))
     out = out.withColumn("high_perplexity", high_perplexity_flag(F.col("ppl"), cfg))
     return out

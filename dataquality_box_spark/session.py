@@ -38,7 +38,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("DQX_DRIVER_MEM", "8g"))
+        # local mode: driver heap is the only memory pool; 32 task threads
+        # + whole-stage codegen over wide text rows GC-thrash below ~32g
+        .config("spark.driver.memory", os.environ.get("DQX_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
     )

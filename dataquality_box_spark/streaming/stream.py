@@ -1,0 +1,106 @@
+"""Structured Streaming path: incremental transcript filtering.
+
+The reference emulates streaming with an hourly watermark scan over MySQL
+(reference: dags/scanner_cactus_monitor.py:44-109 watermark + 8h batch
+clamp) and a dynamic late-data clipping window (plugins/services/
+data_quality_runner.py:388-429). The Spark-native equivalents:
+
+  * ``readStream`` over the transcript table directory — new files are
+    the micro-batches; no hand-rolled watermark variable.
+  * ``withWatermark('ts', ...)`` bounds state for event-time windows —
+    the principled version of the reference's clipping window (late rows
+    beyond the watermark are dropped from aggregation, exactly the
+    "neighboring-shift noise" rule).
+  * per-turn text rules + scrub are stateless column expressions, so the
+    same ``annotate/scrub`` code runs unchanged on a stream.
+  * conversation-level checks need order; in streaming they run per
+    micro-batch via ``foreachBatch`` against the idempotent partitioned
+    sink (same TableIO seam), or with session windows for gap analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, QualityConfig
+from ..functions.scrub import scrub_text
+from ..functions.text import text_flag_columns
+from ..schema import TRANSCRIPT_SCHEMA
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def annotate_stream(stream: DataFrame, cfg: QualityConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Stateless per-turn rules + scrub on a stream (same exprs as batch)."""
+    out = stream
+    for name, col in text_flag_columns(F.col("text"), cfg).items():
+        out = out.withColumn(name, col)
+    flags = [c for c in ("too_short", "too_long", "high_repetition",
+                         "high_symbol_ratio", "boilerplate", "toxicity")]
+    keep = ~F.greatest(*[F.col(c) for c in flags])
+    return out.withColumn("keep", keep).withColumn(
+        "scrubbed_text", F.when(keep, scrub_text(F.col("text")))
+    )
+
+
+def windowed_drop_metrics(
+    stream: DataFrame,
+    cfg: QualityConfig = DEFAULT_CONFIG,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed keep/drop counts with a watermark bound."""
+    annotated = annotate_stream(stream, cfg)
+    return (
+        annotated.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "rows_in",
+            "rows_kept",
+        )
+    )
+
+
+def conversation_sessions(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per conversation (gap-based) — turn bursts."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("conv_id"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_turns",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, query_df: DataFrame, name: str, output_mode: str = "append"
+):
+    """Drive a bounded directory stream to completion synchronously (tests)."""
+    q = (
+        query_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -192,8 +192,25 @@ def gen_transcripts(n_conversations: int, seed: int = 42) -> pd.DataFrame:
     )
 
 
-def write_transcripts_parquet(path: str, n_conversations: int, seed: int = 42) -> int:
-    """Generate and write as parquet; returns row count."""
+def write_transcripts_parquet(
+    path: str, n_conversations: int, seed: int = 42, rows_per_file: int = 25_000
+) -> int:
+    """Generate and write as a parquet DIRECTORY of many part files.
+
+    The pool-based text compresses ~20x, so a single file gives Spark only
+    a handful of byte-based input splits regardless of core count (row
+    groups don't help once the whole file is smaller than
+    files.openCostInBytes). Many part files = many splits = full scan
+    parallelism — the layout any real multi-TB ingest has anyway.
+    """
+    import os
+
     pdf = gen_transcripts(n_conversations, seed)
-    pdf.to_parquet(path, index=False)
-    return len(pdf)
+    os.makedirs(path, exist_ok=True)
+    n = len(pdf)
+    n_files = max(8, n // rows_per_file)
+    bounds = [round(i * n / n_files) for i in range(n_files + 1)]
+    for i in range(n_files):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        chunk.to_parquet(os.path.join(path, f"part-{i:05d}.parquet"), index=False)
+    return n

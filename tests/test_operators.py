@@ -1,0 +1,155 @@
+"""Unit tests for the operator library: recon joins, conversation ops, skew.
+
+Planted-case fixtures per FIXTURES.md §4: exact L1 matches, loose L2
+matches with overlap, orphans, competing candidates where nearest wins.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dataquality_box_spark.operators.conversation import (
+    compact_consecutive_runs,
+    group_broadcast,
+    top1_per_group,
+)
+from dataquality_box_spark.operators.recon import (
+    asof_nearest_join,
+    range_join_best,
+    two_tier_match,
+)
+from dataquality_box_spark.operators.skew import salted_agg, with_salt
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _recon_frames(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["a", "a", "a", "b", "c"],
+                "id": [1, 2, 3, 4, 5],
+                "event_ts": [_ts(0), _ts(100), _ts(500), _ts(0), _ts(0)],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["a", "a", "a", "a", "b"],
+                "rid": [10, 11, 12, 13, 14],
+                # 10: 2min from id1 (L1); 11: 3min from id1 (competing, loses)
+                # 12: 90min from id2 (L2 range); 13: far from everything
+                # 14: 1min from id4 (L1 for key b)
+                "r_ts": [_ts(2), _ts(3), _ts(190), _ts(1000), _ts(1)],
+            }
+        )
+    )
+    return left, right
+
+
+def test_asof_nearest_within_tolerance(spark):
+    left, right = _recon_frames(spark)
+    m = asof_nearest_join(
+        left, right, "key", "event_ts", "r_ts", 5 * 60_000_000, how="left",
+        tiebreak=["rid"],
+    ).toPandas().set_index("id").sort_index()
+    assert m.loc[1, "rid"] == 10  # nearest wins over rid 11
+    assert pd.isna(m.loc[2, "rid"])  # 90min > 5min tolerance
+    assert pd.isna(m.loc[3, "rid"])
+    assert m.loc[4, "rid"] == 14
+    assert pd.isna(m.loc[5, "rid"])  # no right rows for key c
+
+
+def test_two_tier_match_statuses(spark):
+    left, right = _recon_frames(spark)
+    m = two_tier_match(
+        left, right, "key", "event_ts", "r_ts",
+        strict_us=5 * 60_000_000, loose_us=3 * 3600_000_000,
+        left_id="id", right_id="rid",
+    ).toPandas().set_index("id").sort_index()
+    assert m.loc[1, "matched_status"] == 1 and m.loc[1, "rid"] == 10
+    assert m.loc[2, "matched_status"] == 4 and m.loc[2, "rid"] == 12  # loose
+    # id 3 at minute 500: nearest candidates are 310min and 500min away,
+    # both beyond the 3h loose window -> orphan
+    assert m.loc[3, "matched_status"] == 3 and pd.isna(m.loc[3, "rid"])
+    assert m.loc[4, "matched_status"] == 1 and m.loc[4, "rid"] == 14
+    assert m.loc[5, "matched_status"] == 3  # orphan
+
+
+def test_range_join_overlap_predicate(spark):
+    left, right = _recon_frames(spark)
+    left = left.withColumn("tags", F.array(F.lit("x"), F.lit("y")))
+    right = right.withColumn(
+        "rtags",
+        F.when(F.col("rid") == 12, F.array(F.lit("y"))).otherwise(F.array(F.lit("z"))),
+    )
+    m = range_join_best(
+        left, right, "key", "event_ts", "r_ts", 3 * 3600_000_000,
+        extra_pred=F.size(F.array_intersect(F.col("tags"), F.col("rtags"))) > 0,
+        left_key_cols=["id"], tiebreak=["rid"],
+    ).toPandas()
+    # only rid 12 satisfies the overlap; it is within 3h only of id 2
+    assert set(m["id"]) == {2}
+    assert m.iloc[0]["rid"] == 12
+
+
+def test_group_broadcast_and_top1(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 3.0, 5.0]})
+    )
+    out = group_broadcast(df, "g", {"g_sum": F.sum("v")}).toPandas()
+    assert set(zip(out["g"], out["g_sum"])) == {("a", 4.0), ("a", 4.0), ("b", 5.0)}
+    best = top1_per_group(df, "g", F.col("v").desc()).toPandas().set_index("g")
+    assert best.loc["a", "v"] == 3.0 and best.loc["b", "v"] == 5.0
+
+
+def test_compact_consecutive_runs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "g": ["a"] * 6,
+                "pos": [1, 2, 3, 4, 5, 6],
+                "state": ["x", "x", "y", "y", "x", "x"],
+            }
+        )
+    )
+    out = compact_consecutive_runs(df, "g", "pos", "state").toPandas()
+    # three runs: xx (keep pos2), yy (keep pos4), xx (keep pos6)
+    assert sorted(out["pos"]) == [2, 4, 6]
+
+
+def test_salted_agg_matches_plain(spark, transcripts_df):
+    plain = (
+        transcripts_df.groupBy("conv_id")
+        .agg(F.count("*").alias("n_rows"), F.sum("turn_idx").alias("total"))
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    salted = (
+        salted_agg(
+            transcripts_df,
+            "conv_id",
+            {"c": F.count("*"), "s": F.sum("turn_idx")},
+            {"n_rows": F.sum("c"), "total": F.sum("s")},
+        )
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_with_salt_deterministic(spark, transcripts_df):
+    a = with_salt(transcripts_df, "conv_id").select("__salt").toPandas()
+    b = with_salt(transcripts_df, "conv_id").select("__salt").toPandas()
+    assert (a["__salt"] == b["__salt"]).all()
+    assert a["__salt"].between(0, 15).all()

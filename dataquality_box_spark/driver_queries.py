@@ -1446,3 +1446,66 @@ def transcript_conv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_view(spark, sf_dir)
     result = run_pipeline(t, HEURISTIC_CONFIG)
     return conversation_metrics(result)
+
+
+# ---------------------------------------------------------------------------
+# Weak (rows-only) queries: approximate + streaming operators whose outputs
+# are not ANSI-SQL-reproducible by construction.
+
+@_q("approx_stats", None)
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + percentile_approx (the at-scale variants of
+    A4/A5 — sketch-based, so no exact DuckDB twin)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@_q("streaming_windowed_metrics", None)
+def streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Structured Streaming run: watermarked 1-hour windows of
+    event counts driven to completion with availableNow (T1/T2 semantics)."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    name = "dqx_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

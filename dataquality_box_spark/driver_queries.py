@@ -10,7 +10,7 @@ Cross-engine exactness rules (the driver hash-compares values):
     then CAST back to DOUBLE — identical bits in both engines.
   * Integer-valued doubles (l_quantity) sum exactly as doubles already.
   * Timestamps are emitted as formatted strings (session tz pinned UTC).
-  * Никаких nondeterministic collect orders: sets are sorted before join.
+  * No nondeterministic collect orders: sets are sorted before joining.
 """
 
 from __future__ import annotations
@@ -1509,3 +1509,71 @@ def streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+_ROLE_CASE = """CASE event_type
+    WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant'
+    WHEN 'purchase' THEN 'assistant' WHEN 'signup' THEN 'system'
+    ELSE 'tool' END"""
+
+
+@_q(
+    "stateful_conversation_totals",
+    f"""
+    WITH t AS (
+      SELECT 'conv_' || CAST(user_id AS STRING) AS conv_id,
+             {_ROLE_CASE} AS role, ts, event_id
+      FROM events
+    ), lagged AS (
+      SELECT conv_id, role,
+             LAG(role) OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS prev_role
+      FROM t
+    )
+    SELECT conv_id,
+           COUNT(*) AS n_turns,
+           CAST(COALESCE(SUM(CASE WHEN role IN ('user','assistant')
+                                   AND prev_role = role THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_violations
+    FROM lagged GROUP BY conv_id
+    """,
+)
+def stateful_conversation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): running
+    per-conversation turn/violation totals carried across micro-batches,
+    driven to completion with availableNow. Because arrival order is the
+    event-time order (time-bucketed files, monotone mtimes), the stream-end
+    totals equal the batch lag-window SQL — a strong oracle for a stateful
+    operator (SURVEY.md §2.9; reference watermark-state analog:
+    dags/scanner_cactus_monitor.py:44-109)."""
+    import uuid
+
+    from .streaming.stateful import (
+        conversation_state_updates,
+        final_totals,
+        write_time_ordered_buckets,
+    )
+
+    ev = _tbl(spark, sf_dir, "events").selectExpr(
+        "'conv_' || CAST(user_id AS STRING) AS conv_id",
+        f"{_ROLE_CASE} AS role",
+        "ts",
+        "event_id",
+    )
+    stream_dir = f"/tmp/dqx_stateful_{uuid.uuid4().hex[:8]}"
+    write_time_ordered_buckets(ev, stream_dir, n_buckets=4, order_cols=("ts", "event_id"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    updates = conversation_state_updates(stream)
+    name = "dqx_stateful_" + uuid.uuid4().hex[:8]
+    q = (
+        updates.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return final_totals(spark.table(name))

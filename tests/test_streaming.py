@@ -74,3 +74,56 @@ def test_conversation_sessions(spark, transcripts_pdf, tmp_path):
     assert len(pdf) > 0
     assert (pdf["n_turns"] >= 1).all()
     assert (pdf["sess_end"] > pdf["sess_start"]).all()
+
+
+def test_stateful_conversation_tracker_matches_batch_lag(spark, tmp_path):
+    """applyInPandasWithState totals == batch lag-window computation, with
+    conversations deliberately straddling micro-batch boundaries."""
+    import pandas as pd
+
+    from dataquality_box_spark.streaming.stateful import (
+        conversation_state_updates,
+        final_totals,
+        write_time_ordered_buckets,
+    )
+
+    # 3 conversations interleaved in time so every one straddles buckets;
+    # conv_a has two same-role violations, conv_b one, conv_c none.
+    rows = []
+    seq = {
+        "conv_a": ["user", "user", "assistant", "assistant", "user"],
+        "conv_b": ["user", "assistant", "assistant", "tool", "user"],
+        "conv_c": ["user", "assistant", "user", "assistant", "tool"],
+    }
+    i = 0
+    for k in range(5):
+        for conv in ("conv_a", "conv_b", "conv_c"):
+            rows.append(
+                {
+                    "conv_id": conv,
+                    "role": seq[conv][k],
+                    "ts": pd.Timestamp("2026-01-01", tz="UTC") + pd.Timedelta(minutes=i),
+                    "event_id": i,
+                }
+            )
+            i += 1
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    d = str(tmp_path / "stateful_in")
+    write_time_ordered_buckets(df, d, n_buckets=4, order_cols=("ts", "event_id"))
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = run_stream_to_memory(
+        spark, conversation_state_updates(stream), "stream_stateful"
+    )
+    totals = {
+        r["conv_id"]: (r["n_turns"], r["n_violations"])
+        for r in final_totals(out).collect()
+    }
+    assert totals == {"conv_a": (5, 2), "conv_b": (5, 1), "conv_c": (5, 0)}
+    # cumulative rows are monotone (one per conv per micro-batch that saw it)
+    pdf = out.toPandas().sort_values(["conv_id", "n_turns"])
+    for conv, grp in pdf.groupby("conv_id"):
+        assert grp["n_turns"].is_monotonic_increasing
+        assert grp["n_violations"].is_monotonic_increasing

@@ -1470,6 +1470,7 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded Structured Streaming run: watermarked 1-hour windows of
     event counts driven to completion with availableNow (T1/T2 semantics)."""
+    import os
     import uuid
 
     from pyspark.sql import types as T
@@ -1484,10 +1485,16 @@ def streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
+    # FileStreamSource needs a DIRECTORY; the driver tables may be single
+    # parquet files — stage a symlink into a temp dir.
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        stream_dir = f"/tmp/dqx_streamdir_{uuid.uuid4().hex[:8]}"
+        os.makedirs(stream_dir)
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        src = stream_dir
     stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
     agg = (
         stream.withWatermark("ts", "2 hours")
@@ -1577,3 +1584,93 @@ def stateful_conversation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return final_totals(spark.table(name))
+
+
+# IVF-style ANN: K data-vector centroids (k-means-style seed = the first K
+# vectors), assign every vector to its nearest centroid by cosine (the
+# inverted-file coarse quantizer), then answer top-k probing ONLY the
+# query's list — the at-scale similarity-search path next to sign-LSH
+# (ann_lsh_buckets). At 100 TB the assignment is one broadcast join of K
+# centroid rows against the embedding scan (narrow, map-side) and search
+# shuffles only within-list candidate pairs instead of the full cross join.
+_IVF_K = 4
+_IVF_ASSIGN_DUCK = f"""
+    SELECT v.vec_id, cen.vec_id AS centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_DOT_DUCK.replace('q.', 'v.').replace('c.', 'cen.')}
+                      / sqrt({_NORM_DUCK.format(t='cen')}) DESC, cen.vec_id) AS crnk
+    FROM embeddings v JOIN embeddings cen ON cen.vec_id < {_IVF_K}
+"""
+
+
+@_q(
+    "ivf_ann_topk",
+    f"""
+    WITH assign AS ({_IVF_ASSIGN_DUCK}),
+    lists AS (
+      SELECT vec_id, centroid_id FROM assign WHERE crnk = 1),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_DOT_DUCK} / (sqrt({_NORM_DUCK.format(t='q')}) * sqrt({_NORM_DUCK.format(t='c')}))
+               AS cosine
+      FROM embeddings q
+      JOIN lists ql ON ql.vec_id = q.vec_id
+      JOIN lists cl ON cl.centroid_id = ql.centroid_id
+      JOIN embeddings c ON c.vec_id = cl.vec_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+      FROM pairs)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, cand_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantize (broadcast K centroids, argmax cosine) then
+    top-3 cosine search probing only the query's inverted list."""
+    from pyspark.sql import Window as W
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    cen = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cen_e")
+    )
+    sim = _dot_spark(F.col("embedding"), F.col("cen_e")) / F.sqrt(
+        _dot_spark(F.col("cen_e"), F.col("cen_e"))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    lists = (
+        e.join(F.broadcast(cen))
+        .withColumn("__sim", sim)
+        .withColumn("__crnk", F.row_number().over(w_assign))
+        .filter(F.col("__crnk") == 1)
+        .select("vec_id", "centroid_id", "embedding")
+    )
+    q = lists.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("qc"),
+        F.col("embedding").alias("qe"),
+    )
+    c = lists.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("centroid_id").alias("cc"),
+        F.col("embedding").alias("ce"),
+    )
+    pairs = q.join(c, (F.col("cc") == F.col("qc")) & (F.col("cand_id") != F.col("query_id")))
+    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("cosine", cosine)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "cand_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -118,10 +118,18 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     lengths = s.str.len().to_numpy()
     starts = np.zeros(len(s), dtype=np.int64)
     np.cumsum(lengths[:-1] + 1, out=starts[1:])
-    idx = np.minimum(starts, len(lp) - 1)
-    sums = np.add.reduceat(lp, idx)
-    # rows whose slice is empty (len<2) get whatever reduceat produced; fix:
     n_bigrams = np.maximum(lengths - 1, 0)
+    # (start, end) index pairs so each row reduces EXACTLY its own bigrams:
+    # numpy's pairwise-summation tree depends on segment length, so letting
+    # a row's segment absorb zero-valued separator bigrams would make its
+    # float sum depend on where Arrow batch boundaries fall — scores must
+    # be identical for any batching (determinism contract, SURVEY.md §7).
+    # The final end index is dropped (reduceat's last segment is implicit)
+    # and empty-row segments are overwritten below.
+    pairs = np.empty(2 * len(s) - 1, dtype=np.int64)
+    pairs[0::2] = starts
+    pairs[1::2] = (starts + n_bigrams)[:-1]
+    sums = np.add.reduceat(lp, np.minimum(pairs, len(lp) - 1))[0::2]
     sums = np.where(n_bigrams == 0, 0.0, sums)
     ppl = np.exp(-sums / np.maximum(n_bigrams, 1))
     return pd.Series(ppl, index=texts.index)

@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) for the pure batch functions.
+
+These fuzz the shared Python implementations (the same code the Spark
+pandas UDFs execute, and the pandas reference oracle) over adversarial
+unicode/PII inputs — complementing the exact-parity tests, which cover the
+Spark == reference equality on the seeded corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataquality_box_spark.config import DEFAULT_CONFIG, SCRUB_STEPS
+from dataquality_box_spark.functions.scoring import (
+    detect_lang_batch,
+    perplexity_batch,
+)
+from dataquality_box_spark.reference_impl import reference_labels, scrub_series
+from dataquality_box_spark.schema import DROP_REASONS
+
+_RAW_PII = [re.compile(p) for p, _ in SCRUB_STEPS]
+
+# text fragments: plain words, unicode, and planted PII
+_pii = st.sampled_from(
+    [
+        "bob@example.com",
+        "x@y.zz",
+        "123-45-6789",
+        "(555) 123-4567",
+        "+1 555-123-4567",
+        "1123-45-6789",  # no word boundary: NOT an SSN
+        "a.b-c@mail.example.org",
+    ]
+)
+_word = st.text(min_size=1, max_size=12)
+_fragment = st.one_of(_word, _pii)
+_texts = st.lists(
+    st.one_of(
+        st.just(""),
+        st.builds(" ".join, st.lists(_fragment, min_size=0, max_size=8)),
+        st.text(max_size=200),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts)
+def test_scrub_removes_all_pii_and_is_idempotent(texts):
+    s = pd.Series(texts, dtype=object)
+    once = scrub_series(s)
+    # no raw PII pattern survives a scrub
+    for cre in _RAW_PII:
+        assert not once.str.contains(cre, regex=True).any()
+    # idempotent: scrubbing scrubbed text changes nothing
+    twice = scrub_series(once)
+    assert (once == twice).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts)
+def test_scrub_preserves_pii_free_text(texts):
+    s = pd.Series(texts, dtype=object)
+    clean_mask = np.ones(len(s), dtype=bool)
+    for cre in _RAW_PII:
+        clean_mask &= ~s.fillna("").str.contains(cre, regex=True).to_numpy()
+    out = scrub_series(s)
+    assert (out.to_numpy()[clean_mask] == s.fillna("").to_numpy()[clean_mask]).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=300), min_size=1, max_size=30))
+def test_scorers_total_and_deterministic(texts):
+    s = pd.Series(texts, dtype=object)
+    lang1, lang2 = detect_lang_batch(s), detect_lang_batch(s)
+    assert (lang1 == lang2).all()
+    assert lang1.isin(["en", "fr", "es", "de", "zh", "und"]).all()
+    ppl1, ppl2 = perplexity_batch(s), perplexity_batch(s)
+    assert (ppl1 == ppl2).all()
+    assert np.isfinite(ppl1.to_numpy()).all()
+    assert (ppl1.to_numpy() > 0).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=100), min_size=2, max_size=12), st.randoms())
+def test_scorers_batch_split_invariant(texts, rnd):
+    """Scoring a batch == scoring its pieces: no cross-row state leaks —
+    the invariant that makes Arrow batch boundaries semantically invisible
+    (pipeline determinism at any maxRecordsPerBatch)."""
+    s = pd.Series(texts, dtype=object)
+    cut = rnd.randrange(1, len(texts))
+    whole_l, whole_p = detect_lang_batch(s), perplexity_batch(s)
+    parts_l = pd.concat([detect_lang_batch(s.iloc[:cut]), detect_lang_batch(s.iloc[cut:])])
+    parts_p = pd.concat([perplexity_batch(s.iloc[:cut]), perplexity_batch(s.iloc[cut:])])
+    assert (whole_l == parts_l).all()
+    assert np.allclose(whole_p.to_numpy(), parts_p.to_numpy(), rtol=0, atol=0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.randoms())
+def test_reference_labels_row_order_invariant(rnd):
+    """reference_labels output is a pure function of the row SET (it sorts
+    by conv_id/turn_idx/ts internally) — the stable-ordering contract."""
+    from dataquality_box_spark.synth import gen_transcripts
+
+    pdf = gen_transcripts(n_conversations=12, seed=7)
+    shuffled = pdf.sample(frac=1.0, random_state=rnd.randrange(10**6)).reset_index(
+        drop=True
+    )
+    a = reference_labels(pdf, DEFAULT_CONFIG)
+    b = reference_labels(shuffled, DEFAULT_CONFIG)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_reference_labels_internal_consistency():
+    from dataquality_box_spark.synth import gen_transcripts
+
+    pdf = gen_transcripts(n_conversations=60, seed=11)
+    out = reference_labels(pdf, DEFAULT_CONFIG)
+    taxonomy = set(DROP_REASONS)
+    dropping = set(DEFAULT_CONFIG.dropping_reasons)
+    for _, row in out.iterrows():
+        assert set(row["drop_reasons"]) <= taxonomy
+        if row["keep"]:
+            assert not (set(row["drop_reasons"]) & dropping)
+            assert row["scrubbed_text"] is not None
+        else:
+            assert set(row["drop_reasons"]) & dropping
+            assert row["scrubbed_text"] is None

@@ -1674,3 +1674,125 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# BPE-ish tokenizer: GPT-2-style pre-tokenization regex restricted to the
+# lookahead-free Java/RE2/Python common subset (contractions, letter runs,
+# digit runs, punctuation runs, each with optional leading space) — the
+# "token counting" training-data op next to the whitespace counter
+# (doc_token_stats).
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+_BPE_SQL = _BPE_RE.replace("'", "''")  # escaped for SQL string literals
+
+
+@_q(
+    "doc_bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# Embedding-cosine near-duplicate detection: nearest neighbor within a
+# deterministic sample + a near-dup verdict at 0.95 cosine — the embedding
+# flavor of the dedup family (exact/minhash/simhash/jaccard above).
+@_q(
+    "dedup_embedding_neardup",
+    f"""
+    WITH sample AS (SELECT * FROM embeddings WHERE vec_id % 13 = 0),
+    pairs AS (
+      SELECT q.vec_id, c.vec_id AS neighbor_id,
+             {_DOT_DUCK} / (sqrt({_NORM_DUCK.format(t='q')}) * sqrt({_NORM_DUCK.format(t='c')}))
+               AS cosine
+      FROM sample q JOIN sample c ON c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT vec_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT vec_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+           cosine >= 0.95 AS near_dup
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 13 == 0)
+    q = e.select(F.col("vec_id"), F.col("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    pairs = q.join(F.broadcast(c), F.col("neighbor_id") != F.col("vec_id"))
+    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", cosine)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            (F.col("cosine") >= 0.95).alias("near_dup"),
+        )
+    )
+
+
+# Rolling-hash document fingerprint: polynomial hash (base 31, large prime
+# modulus — exact in int64 in both engines) over the first 64 chars of the
+# ASCII-normalized text. The incremental-hash flavor of fingerprinting next
+# to the md5 content hash (doc_fingerprint).
+_RH_MOD = 9_007_199_254_740_881  # largest prime < 2^53; 31*mod < int64 max
+
+
+@_q(
+    "doc_rolling_hash",
+    f"""
+    WITH n AS (
+      SELECT doc_id,
+             substr(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), 1, 64)
+               AS norm
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN length(norm) = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, length(norm) + 1),
+                                        i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % {_RH_MOD})
+           END AS rolling_hash
+    FROM n
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tbl(spark, sf_dir, "documents")
+    norm = F.expr(
+        "substring(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' '))), 1, 64)"
+    )
+    rolling = F.expr(
+        "CASE WHEN length(__norm) = 0 THEN 0L ELSE "
+        "aggregate(transform(sequence(1, length(__norm)), "
+        "                    i -> CAST(ascii(substring(__norm, i, 1)) AS BIGINT)), "
+        f"          0L, (a, c) -> (a * 31L + c) % {_RH_MOD}) END"
+    )
+    return (
+        d.withColumn("__norm", norm)
+        .select("doc_id", rolling.alias("rolling_hash"))
+    )

@@ -92,21 +92,32 @@ def process_partitions(
             raise RuntimeError(f"injected failure after {fail_after} partitions")
         t0 = time.time()
         part = spark.read.parquet(f"{io.root}/raw/{PART_COL}={k}")
-        result = run_pipeline(part, cfg)
-        kept = kept_turns(result)
-        io.overwrite_partition(
-            kept.withColumn(PART_COL, F.lit(k)), "result", PART_COL, k
-        )
-        # metrics from one aggregation over the annotated frame
-        counts = (
-            result.select(F.explode_outer("drop_reasons").alias("r"))
-            .groupBy("r")
-            .count()
-            .collect()
-        )
-        reason_counts = {row["r"]: row["count"] for row in counts if row["r"] is not None}
-        rows_in = result.select(F.count("*"), F.sum(F.col("keep").cast("long"))).first()
-        n_in, n_kept = int(rows_in[0]), int(rows_in[1] or 0)
+        # persist the annotated frame: the data write + the two metric
+        # aggregations are three actions, and without a cache each one
+        # re-runs the full feature/score/window pipeline. A partition is
+        # sized to fit executor storage (MEMORY_AND_DISK spills safely).
+        result = run_pipeline(part, cfg).persist()
+        try:
+            kept = kept_turns(result)
+            io.overwrite_partition(
+                kept.withColumn(PART_COL, F.lit(k)), "result", PART_COL, k
+            )
+            # metrics from one aggregation over the annotated frame
+            counts = (
+                result.select(F.explode_outer("drop_reasons").alias("r"))
+                .groupBy("r")
+                .count()
+                .collect()
+            )
+            reason_counts = {
+                row["r"]: row["count"] for row in counts if row["r"] is not None
+            }
+            rows_in = result.select(
+                F.count("*"), F.sum(F.col("keep").cast("long"))
+            ).first()
+            n_in, n_kept = int(rows_in[0]), int(rows_in[1] or 0)
+        finally:
+            result.unpersist()
         ledger.append(
             LedgerEntry(
                 "process",

@@ -18,7 +18,9 @@ from dataquality_box_spark.operators.rules import (
 def test_load_rules_dir():
     rules = load_rules("rules")
     assert {r.rule_id for r in rules} == {
-        "R01_too_short", "R02_role_enum", "R09_conv_volume", "RC02_missing_convs",
+        "R01_too_short", "R02_role_enum", "R03_empty_assistant",
+        "R04_tool_without_name", "R09_conv_volume", "R16_symbol_ratio",
+        "R18_ts_range", "RC02_missing_convs", "RC03_turn_count_cross_check",
     }
 
 
@@ -31,7 +33,13 @@ def test_parse_expr_sandbox_blocks_dunder():
 
 def test_filter_and_aggregate_rules(spark, transcripts_df):
     rules = load_rules("rules")
-    registry = transcripts_df.select("conv_id").distinct().limit(50)
+    registry = (
+        transcripts_df.select("conv_id")
+        .distinct()
+        .limit(50)
+        # expected_turns deliberately one off so RC03's compare flags them
+        .withColumn("expected_turns", F.lit(-1).cast("long"))
+    )
     results = run_rules(rules, transcripts_df, {"conv_registry": registry})
     by_id = {r.rule_id: r for r in results}
     assert by_id["R01_too_short"].status == "SUCCESS"
@@ -47,6 +55,16 @@ def test_filter_and_aggregate_rules(spark, transcripts_df):
     assert anti.status == "SUCCESS"
     n_convs = transcripts_df.select("conv_id").distinct().count()
     assert anti.hits.count() == n_convs - 50
+    # reference predicate-library analogs (SURVEY §2.2 P6)
+    assert by_id["R04_tool_without_name"].status == "SUCCESS"
+    tool_hits = by_id["R04_tool_without_name"].hits
+    assert tool_hits.filter(F.col("role") != "tool").count() == 0
+    assert by_id["R16_symbol_ratio"].status == "SUCCESS"
+    assert by_id["R18_ts_range"].hits.count() == 0  # synth ts are in range
+    # compare cross-check: every registry conv mismatches expected_turns=-1
+    rc03 = by_id["RC03_turn_count_cross_check"]
+    assert rc03.status == "SUCCESS"
+    assert rc03.hits.count() == 50
 
 
 def test_missing_column_is_skipped(spark, transcripts_df):

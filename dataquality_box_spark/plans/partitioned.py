@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, QualityConfig
 from ..sources.tableio import TableIO
 from .ledger import Ledger, LedgerEntry
-from .pipeline import kept_turns, run_pipeline
+from .pipeline import kept_turns, observe_totals, run_pipeline
 
 PART_COL = "part_id"
 
@@ -98,11 +98,15 @@ def process_partitions(
         # sized to fit executor storage (MEMORY_AND_DISK spills safely).
         result = run_pipeline(part, cfg).persist()
         try:
-            kept = kept_turns(result)
+            # totals ride the data-write action via CollectMetrics (zero
+            # extra passes); only the reason histogram needs a second agg
+            observed, obs = observe_totals(result, name=f"dqx_totals_p{k}")
+            kept = kept_turns(observed)
             io.overwrite_partition(
                 kept.withColumn(PART_COL, F.lit(k)), "result", PART_COL, k
             )
-            # metrics from one aggregation over the annotated frame
+            totals = obs.get
+            n_in, n_kept = int(totals["rows_in"]), int(totals["rows_kept"] or 0)
             counts = (
                 result.select(F.explode_outer("drop_reasons").alias("r"))
                 .groupBy("r")
@@ -112,10 +116,6 @@ def process_partitions(
             reason_counts = {
                 row["r"]: row["count"] for row in counts if row["r"] is not None
             }
-            rows_in = result.select(
-                F.count("*"), F.sum(F.col("keep").cast("long"))
-            ).first()
-            n_in, n_kept = int(rows_in[0]), int(rows_in[1] or 0)
         finally:
             result.unpersist()
         ledger.append(

@@ -70,6 +70,27 @@ def run_pipeline(
     )
 
 
+def observe_totals(result: DataFrame, name: str = "dqx_totals"):
+    """Attach an Observation so rows_in/rows_kept ride the NEXT action on
+    this frame for free (Spark CollectMetrics — no second pass over the
+    data). The at-scale replacement for re-aggregating the pipeline output
+    just to fill the lineage ledger (reference analog: per-rule hit_count
+    self-reporting, plugins/operators/report_writer.py:106-171).
+
+    Returns (observed_df, observation); read ``observation.get`` AFTER an
+    action ran on a descendant of observed_df.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+    )
+    return observed, obs
+
+
 def kept_turns(result: DataFrame) -> DataFrame:
     """The sink-side projection: kept turns with scrubbed text only."""
     return result.filter(F.col("keep")).select(

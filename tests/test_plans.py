@@ -48,3 +48,25 @@ def test_filter_and_projection_pushdown(spark, tmp_path):
     assert m and "EqualTo(conv_id,c1)" in m.group(1), plan
     rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert rs and "text" not in rs.group(1), "projection not pruned: " + rs.group(1)
+
+
+def test_observe_totals_rides_the_write_action(spark, transcripts_df, tmp_path):
+    """CollectMetrics totals from the single write action equal a direct
+    aggregation — no second pass over the pipeline output."""
+    from dataquality_box_spark.config import DEFAULT_CONFIG
+    from dataquality_box_spark.plans.pipeline import (
+        kept_turns,
+        observe_totals,
+        run_pipeline,
+    )
+
+    result = run_pipeline(transcripts_df, DEFAULT_CONFIG)
+    observed, obs = observe_totals(result, name="t_obs")
+    kept_turns(observed).write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    expect = result.select(
+        F.count("*").alias("rows_in"), F.sum(F.col("keep").cast("long")).alias("rows_kept")
+    ).first()
+    assert int(got["rows_in"]) == int(expect["rows_in"])
+    assert int(got["rows_kept"]) == int(expect["rows_kept"])
+    assert int(got["rows_kept"]) < int(got["rows_in"])  # some turns dropped

@@ -81,7 +81,7 @@ def main() -> None:
     n_rows = df.count()  # warm the file cache / JVM before timing
     out_dir = "/tmp/dqx_bench_out"
     pipeline_sec = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         result = run_pipeline(df, DEFAULT_CONFIG)
@@ -111,7 +111,7 @@ def main() -> None:
                 "pipeline_sec": round(pipeline_sec, 2),
                 "rows": n_rows,
                 "cpus": CPUS,
-                "methodology": "best of 3 pipeline runs / 2 per query "
+                "methodology": "best of 5 pipeline runs / 2 per query "
                 "(shared-host steal-burst damping)",
             }
         )

@@ -40,6 +40,11 @@ def _sf_of(path: str) -> float:
 SF = _sf_of(SF_DIR)
 N_CONVS = int(os.environ.get("DQX_BENCH_CONVS", str(max(500, int(500_000 * SF)))))
 
+# best-of-N reps (shared host with steal bursts: a single run can crater
+# 3-5x through no fault of the engine; best-of-N measures the engine)
+N_PIPELINE_REPS = 5
+N_QUERY_REPS = 2
+
 HEADLINE_QUERIES = (
     "pricing_summary",
     "window_lag_gaps",
@@ -74,14 +79,14 @@ def main() -> None:
     spark = get_spark("dqx-bench", parallelism=CPUS, shuffle_partitions=CPUS)
 
     # --- headline: end-to-end pipeline throughput.
-    # Best of 3 runs: this sandbox VM shares a host with bursty neighbors
+    # Best of N_PIPELINE_REPS runs: this VM shares a host with bursty neighbors
     # (steal spikes up to ~17% were measured); a single run can crater 3-5x
     # through no fault of the engine. Best-of-N measures the engine.
     df = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(corpus)
     n_rows = df.count()  # warm the file cache / JVM before timing
     out_dir = "/tmp/dqx_bench_out"
     pipeline_sec = float("inf")
-    for _ in range(5):
+    for _ in range(N_PIPELINE_REPS):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         result = run_pipeline(df, DEFAULT_CONFIG)
@@ -89,12 +94,12 @@ def main() -> None:
         pipeline_sec = min(pipeline_sec, time.time() - t0)
     turns_per_sec = n_rows / pipeline_sec
 
-    # --- headline queries at SF_DIR (best of 2, same reasoning)
+    # --- headline queries at SF_DIR (best-of-N, same reasoning)
     query_secs: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         fn = PAIRS[name][0]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(N_QUERY_REPS):
             t0 = time.time()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
@@ -111,7 +116,7 @@ def main() -> None:
                 "pipeline_sec": round(pipeline_sec, 2),
                 "rows": n_rows,
                 "cpus": CPUS,
-                "methodology": "best of 5 pipeline runs / 2 per query "
+                "methodology": f"best of {N_PIPELINE_REPS} pipeline runs / {N_QUERY_REPS} per query "
                 "(shared-host steal-burst damping)",
             }
         )

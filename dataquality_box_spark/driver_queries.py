@@ -468,8 +468,8 @@ def asof_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("rts")
     )
     m = asof_nearest_join(
-        left, right, "user_id", "ts", "rts", 300_000_000, how="left",
-        tiebreak=["click_id"],
+        left, right, "user_id", "ts", "rts", 300_000_000, left_id="event_id",
+        how="left", tiebreak=["click_id"],
     )
     return m.select(
         "event_id",
@@ -1455,22 +1455,42 @@ def transcript_conv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("approx_stats", None)
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct + percentile_approx (the at-scale variants of
-    A4/A5 — sketch-based, so no exact DuckDB twin)."""
+    A4/A5 — sketch-based, so no exact DuckDB twin). Quantiles are emitted
+    as three scalar DOUBLE columns so the driver's rows-only
+    canonicalization can sort the frame (arrays are unhashable in pandas)."""
     li = _tbl(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        q.getItem(0).alias("price_p50"),
+        q.getItem(1).alias("price_p90"),
+        q.getItem(2).alias("price_p99"),
         F.count("*").alias("n"),
     )
 
 
-@_q("streaming_windowed_metrics", None)
+# Bounded-input determinism argument (same as stateful_conversation_totals):
+# with availableNow + append mode, the engine runs a final no-data
+# micro-batch that evicts and emits every window whose end is at or below
+# the terminal watermark max(ts) - 2h — a pure batch expression DuckDB can
+# reproduce. Late windows (within 2h of max ts) are deliberately withheld
+# by both sides, which IS the T1/T2 late-data-clipping semantics.
+@_q(
+    "streaming_windowed_metrics",
+    """
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """,
+)
 def streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded Structured Streaming run: watermarked 1-hour windows of
     event counts driven to completion with availableNow (T1/T2 semantics)."""
     import os
+    import shutil
     import uuid
 
     from pyspark.sql import types as T
@@ -1487,34 +1507,39 @@ def streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # FileStreamSource needs a DIRECTORY; the driver tables may be single
     # parquet files — stage a symlink into a temp dir.
-    src = f"{sf_dir}/events.parquet"
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = None
     if os.path.isfile(src):
         stream_dir = f"/tmp/dqx_streamdir_{uuid.uuid4().hex[:8]}"
         os.makedirs(stream_dir)
         os.symlink(src, os.path.join(stream_dir, "events.parquet"))
         src = stream_dir
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
-    agg = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
-            "event_type",
-            "n",
+    try:
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
         )
-    )
-    name = "dqx_stream_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                "event_type",
+                "n",
+            )
+        )
+        name = "dqx_stream_" + uuid.uuid4().hex[:8]
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if stream_dir:
+            shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -1568,22 +1593,31 @@ def stateful_conversation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_dir = f"/tmp/dqx_stateful_{uuid.uuid4().hex[:8]}"
     write_time_ordered_buckets(ev, stream_dir, n_buckets=4, order_cols=("ts", "event_id"))
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
-    )
-    updates = conversation_state_updates(stream)
-    name = "dqx_stateful_" + uuid.uuid4().hex[:8]
-    q = (
-        updates.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return final_totals(spark.table(name))
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        updates = conversation_state_updates(stream)
+        name = "dqx_stateful_" + uuid.uuid4().hex[:8]
+        q = (
+            updates.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize before removing the staged input (memory sink rows
+        # are already collected, but final_totals re-reads the table)
+        totals = final_totals(spark.table(name)).cache()
+        totals.count()
+        return totals
+    finally:
+        import shutil
+
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
 
 # IVF-style ANN: K data-vector centroids (k-means-style seed = the first K

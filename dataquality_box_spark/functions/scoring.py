@@ -47,7 +47,9 @@ def detect_lang_batch(texts: pd.Series) -> pd.Series:
     first LANGID_PREFIX chars.
 
     Returns one of en/fr/es/de/zh/und per row. One tokenizing pass in
-    pandas' C string kernel + numpy scatter-add — no per-row Python loop.
+    pandas' C string kernel + numpy scatter-add; the only remaining Python
+    iteration is the flat per-token dict lookup inside np.fromiter (no
+    per-language regex passes, no per-row loop).
     """
     s = texts.fillna("").astype(str)
     head = s.str.slice(0, LANGID_PREFIX)

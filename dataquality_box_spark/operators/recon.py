@@ -14,6 +14,13 @@ At scale: the equi-join on the group key shuffles both sides once; the
 tolerance predicate prunes pairs before the rank window. Never a
 cartesian product (the reference makes the same point at
 reconciliation.py:278-288).
+
+Contract: ``left_id`` must be a unique, non-null key of the left frame.
+The join-back after the rank is on ``left_id`` alone — joining back on
+every left column would use null-unsafe equality, so a left row with a
+NULL in any payload column (the reference's Cycle entity is full of
+nullable free-text fields, plugins/domain/entities/cycle.py:6-91) would
+silently lose its own match. It also avoids hashing long text columns.
 """
 
 from __future__ import annotations
@@ -29,11 +36,16 @@ def asof_nearest_join(
     left_ts: str,
     right_ts: str,
     tolerance_us: int,
+    left_id: str,
     how: str = "left",
     tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Nearest-within-tolerance match per left row, by group key ``on``.
 
+    ``left_id`` is the unique non-null row key of ``left``; the best match
+    is ranked per ``left_id`` and (for how='left') joined back on it, so
+    NULLs in other left columns never detach a row from its match.
+    Right columns other than ``on`` must not collide with left columns.
     Ties on |Δt| break by right timestamp, then ``tiebreak`` columns, so
     the match is fully deterministic.
     """
@@ -45,7 +57,7 @@ def asof_nearest_join(
         F.abs(lt - rt) <= F.lit(tolerance_us)
     )
     order = [F.abs(lt - rt).asc(), rt.asc()] + [F.col(c).asc() for c in (tiebreak or [])]
-    w = Window.partitionBy(*[F.col(c) for c in left.columns]).orderBy(*order)
+    w = Window.partitionBy(left_id).orderBy(*order)
     best = (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -53,8 +65,10 @@ def asof_nearest_join(
     )
     if how == "inner":
         return best
-    # left join back so unmatched left rows survive with null right cols
-    return left.join(best, on=left.columns, how="left")
+    # join back on the id key only (null-safe by contract) so unmatched
+    # left rows survive with null right columns
+    right_only = [c for c in right.columns if c not in left.columns]
+    return left.join(best.select(left_id, *right_only), on=left_id, how="left")
 
 
 def range_join_best(
@@ -69,7 +83,12 @@ def range_join_best(
     tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Loose range match: |Δt| <= tolerance plus an optional overlap
-    predicate; best (min |Δt|) candidate per left key."""
+    predicate; best (min |Δt|) candidate per left key.
+
+    ``left_key_cols`` should be the left frame's unique id column(s);
+    omitting it falls back to ranking over every left column, which is
+    only safe when all left columns are non-null and cheap to hash.
+    """
     lef = left.withColumn("__lt", F.unix_micros(F.col(left_ts).cast("timestamp")))
     rig = right.withColumn("__rt", F.unix_micros(F.col(right_ts).cast("timestamp")))
     diff = F.abs(F.col("__lt") - F.col("__rt"))
@@ -103,10 +122,13 @@ def two_tier_match(
       1 = strict (asof within strict_us)      4 = loose (range + overlap)
       3 = left-only orphan                     (right-only rows = status 2,
                                                 derivable by anti join)
-    Returns left rows + matched right id + status.
+    Returns left rows + matched right id + status. Works for any
+    ``right_id`` type — the orphan rows' null id is cast to the right
+    frame's actual id type.
     """
     l1 = asof_nearest_join(
-        left, right, on, left_ts, right_ts, strict_us, how="inner", tiebreak=[right_id]
+        left, right, on, left_ts, right_ts, strict_us, left_id,
+        how="inner", tiebreak=[right_id],
     )
     l1_ids = l1.select(left_id).distinct()
     rest = left.join(l1_ids, on=left_id, how="left_anti")
@@ -129,7 +151,8 @@ def two_tier_match(
     out4 = l2.select(*left.columns, F.col(right_id)).withColumn(
         "matched_status", F.lit(4)
     )
+    rid_type = right.schema[right_id].dataType
     out3 = orphans.select(
-        *left.columns, F.lit(None).cast("long").alias(right_id)
+        *left.columns, F.lit(None).cast(rid_type).alias(right_id)
     ).withColumn("matched_status", F.lit(3))
     return out1.unionByName(out4).unionByName(out3)

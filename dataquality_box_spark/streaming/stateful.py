@@ -103,6 +103,13 @@ def write_time_ordered_buckets(
     mtimes so a file stream replays rows in event-time order — the arrival
     contract the stateful tracker needs (and the incremental-batch analog
     of the reference's 8h watermark clamp windows).
+
+    Test/oracle-only helper: it relies on FileStreamSource picking files
+    oldest-mtime-first (observed Spark 3.x/4.x behavior with
+    latestFirst=false, not a documented contract) and uses an unpartitioned
+    global-sort window, which is fine for bounded replay but not a scale
+    path. At scale the equivalent ordering comes from the ingest table's
+    time partitioning.
     """
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)

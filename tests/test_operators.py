@@ -58,8 +58,8 @@ def _recon_frames(spark):
 def test_asof_nearest_within_tolerance(spark):
     left, right = _recon_frames(spark)
     m = asof_nearest_join(
-        left, right, "key", "event_ts", "r_ts", 5 * 60_000_000, how="left",
-        tiebreak=["rid"],
+        left, right, "key", "event_ts", "r_ts", 5 * 60_000_000, left_id="id",
+        how="left", tiebreak=["rid"],
     ).toPandas().set_index("id").sort_index()
     assert m.loc[1, "rid"] == 10  # nearest wins over rid 11
     assert pd.isna(m.loc[2, "rid"])  # 90min > 5min tolerance
@@ -82,6 +82,37 @@ def test_two_tier_match_statuses(spark):
     assert m.loc[3, "matched_status"] == 3 and pd.isna(m.loc[3, "rid"])
     assert m.loc[4, "matched_status"] == 1 and m.loc[4, "rid"] == 14
     assert m.loc[5, "matched_status"] == 3  # orphan
+
+
+def test_asof_join_back_is_null_safe(spark):
+    # NULLs in non-key left columns must not detach a row from its match
+    # (the reference's Cycle entity has nullable payload fields,
+    # plugins/domain/entities/cycle.py:6-91)
+    left, right = _recon_frames(spark)
+    left = left.withColumn(
+        "free_text", F.when(F.col("id") == 1, F.lit(None).cast("string")).otherwise(F.lit("x"))
+    )
+    m = asof_nearest_join(
+        left, right, "key", "event_ts", "r_ts", 5 * 60_000_000, left_id="id",
+        how="left", tiebreak=["rid"],
+    ).toPandas().set_index("id").sort_index()
+    assert m.loc[1, "rid"] == 10  # matched despite NULL free_text
+    assert pd.isna(m.loc[1, "free_text"])
+    assert m.loc[4, "rid"] == 14
+
+
+def test_two_tier_match_string_right_id(spark):
+    # status-3 orphan rows must carry a null of the right id's ACTUAL type
+    left, right = _recon_frames(spark)
+    right = right.withColumn("rid", F.concat(F.lit("R"), F.col("rid").cast("string")))
+    m = two_tier_match(
+        left, right, "key", "event_ts", "r_ts",
+        strict_us=5 * 60_000_000, loose_us=3 * 3600_000_000,
+        left_id="id", right_id="rid",
+    ).toPandas().set_index("id").sort_index()
+    assert m.loc[1, "rid"] == "R10" and m.loc[1, "matched_status"] == 1
+    assert m.loc[2, "rid"] == "R12" and m.loc[2, "matched_status"] == 4
+    assert pd.isna(m.loc[3, "rid"]) and m.loc[3, "matched_status"] == 3
 
 
 def test_range_join_overlap_predicate(spark):

@@ -50,8 +50,9 @@ HEADLINE_QUERIES = (
     "window_lag_gaps",
     "two_tier_reconciliation",
     "transcript_keep_scrub",
-    "dedup_jaccard_pairs",
+    "dedup_jaccard_lsh",
     "embedding_cosine_topk",
+    "neardup_ann",
 )
 
 

@@ -809,8 +809,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Token-set Jaccard near-dup pairs (n-gram Jaccard with n=1 over the small
-# shared vocabulary; same shape as shingle-based dedup at scale)
+# Token-set Jaccard near-dup pairs — VERIFICATION BASELINE ONLY (all-pairs
+# token self-join on a 10% doc_id sample; candidate count is quadratic in
+# token document frequency). The default route at scale is
+# dedup_jaccard_lsh below (bucket-first, DF-capped).
 @_q(
     "dedup_jaccard_pairs",
     f"""
@@ -854,57 +856,81 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash signatures + 1-band LSH bucket (portable hash: md5 string-min,
-# so Spark and the SQL oracle agree bit-for-bit)
+# MinHash signatures, production-parameterized: 64 permutations banded
+# 16x4 (candidate probability 1-(1-s^4)^16 ~ 0.9998 at Jaccard 0.8).
+# Portable hash: md5 string-min, so Spark and the SQL oracle agree
+# bit-for-bit. Library route: operators/dedup.py.
+from .operators.dedup import N_BANDS as _MH_BANDS  # noqa: E402
+from .operators.dedup import ROWS_PER_BAND as _MH_ROWS  # noqa: E402
+
+
+def _minhash_sig_sql(src: str = "toks") -> str:
+    """sig CTE body: 64 MIN(md5(tok||'#k')) per doc."""
+    mins = ",\n           ".join(
+        f"MIN(md5(tok || '#{k}')) AS m{k}" for k in range(_MH_BANDS * _MH_ROWS)
+    )
+    return f"SELECT doc_id, {mins} FROM {src} GROUP BY doc_id"
+
+
+def _minhash_band_arms() -> str:
+    """bands CTE: UNION ALL of one arm per band key."""
+    arms = []
+    for b in range(_MH_BANDS):
+        parts = " || '|' || ".join(f"m{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
+        arms.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_key FROM sig"
+        )
+    return "\n      UNION ALL\n      ".join(arms)
+
+
+def _minhash_band_select() -> str:
+    cols = []
+    for b in range(_MH_BANDS):
+        parts = " || '|' || ".join(f"m{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
+        cols.append(f"md5({parts}) AS band{b:02d}")
+    return ", ".join(cols)
+
+
 @_q(
     "minhash_signatures",
     f"""
     WITH toks AS (
       SELECT DISTINCT doc_id, tok
-      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents) u)
-    SELECT doc_id,
-           MIN(md5(tok || '#0')) AS m0,
-           MIN(md5(tok || '#1')) AS m1,
-           MIN(md5(tok || '#2')) AS m2,
-           MIN(md5(tok || '#3')) AS m3,
-           substr(MIN(md5(tok || '#0')), 1, 8) AS band0
-    FROM toks GROUP BY doc_id
+      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents) u),
+    sig AS ({_minhash_sig_sql()})
+    SELECT doc_id, {_minhash_band_select()} FROM sig
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import tokens
+    from .operators.dedup import minhash_band_signatures, token_sets
 
     d = _tbl(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
-    def mh(k: int):
-        return F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{k}")).cast("binary")))
-    return toks.groupBy("doc_id").agg(
-        mh(0).alias("m0"),
-        mh(1).alias("m1"),
-        mh(2).alias("m2"),
-        mh(3).alias("m3"),
-        F.substring(mh(0), 1, 8).alias("band0"),
-    )
+    return minhash_band_signatures(token_sets(d, df_cap_inv=None))
 
 
-# MinHash LSH candidate buckets: docs sharing a band bucket
+# MinHash LSH candidate buckets: docs sharing any of the 16 band buckets
 @_q(
     "minhash_lsh_buckets",
     f"""
     WITH toks AS (
       SELECT DISTINCT doc_id, tok
       FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents) u),
-    sig AS (SELECT doc_id, substr(MIN(md5(tok || '#0')), 1, 8) AS band0
-            FROM toks GROUP BY doc_id)
-    SELECT band0, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    sig AS ({_minhash_sig_sql()}),
+    bands AS ({_minhash_band_arms()})
+    SELECT CAST(band_idx AS INT) AS band_idx, band_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
-    FROM sig GROUP BY band0 HAVING COUNT(*) > 1
+    FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) > 1
     """,
 )
 def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
+    from .operators.dedup import band_buckets, minhash_band_signatures, token_sets
+
+    d = _tbl(spark, sf_dir, "documents")
+    sig = minhash_band_signatures(token_sets(d, df_cap_inv=None))
     return (
-        sig.groupBy("band0")
+        band_buckets(sig)
+        .groupBy(F.col("band_idx").cast("int").alias("band_idx"), "band_key")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("min_doc"),
@@ -912,6 +938,51 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# The DEFAULT near-dup route (scale path): DF-capped token sets ->
+# MinHash-LSH candidate buckets -> exact Jaccard verify within buckets.
+# Candidate work is bounded by bucket sizes (actual duplication), never
+# by token document frequency — the all-pairs dedup_jaccard_pairs below
+# is kept only as a verification baseline on a 10% sample.
+def _jaccard_lsh_sql() -> str:
+    return f"""
+    WITH toks0 AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents) u),
+    hot AS (
+      SELECT tok FROM toks0 GROUP BY tok
+      HAVING COUNT(*) * 5 > (SELECT COUNT(DISTINCT doc_id) FROM toks0)),
+    toks AS (SELECT * FROM toks0 WHERE tok NOT IN (SELECT tok FROM hot)),
+    sig AS ({_minhash_sig_sql()}),
+    bands AS ({_minhash_band_arms()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
+    """
+
+
+@_q("dedup_jaccard_lsh", _jaccard_lsh_sql())
+def dedup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs_lsh
+
+    d = _tbl(spark, sf_dir, "documents")
+    return jaccard_pairs_lsh(d, threshold=0.8, df_cap_inv=5)
 
 
 # SimHash (16-bit, portable: high bit of each md5 hex nibble)
@@ -957,6 +1028,84 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         combine = term if combine is None else combine + term
     return bits.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+# SimHash 64-bit (production width): two salted-md5 32-bit halves, plus
+# Hamming-banded near-dup pairs (4x16-bit bands -> candidates, exact
+# bit_count(xor) verify). Library route: operators/dedup.py.
+def _simhash64_ctes() -> str:
+    def half(col: str, base: int) -> str:
+        return ",\n      ".join(
+            f"SUM(CASE WHEN substr({col}, {k + 1}, 1) IN {_HI_NIBBLE} "
+            f"THEN 1 ELSE -1 END) AS s{base + k}"
+            for k in range(32)
+        )
+
+    def combine(base: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN s{base + k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(32)
+        )
+
+    return f"""
+    toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents) u),
+    hashed AS (
+      SELECT doc_id, md5(tok) AS h1, md5(tok || '#s1') AS h2 FROM toks),
+    bits AS (
+      SELECT doc_id,
+      {half('h1', 0)},
+      {half('h2', 32)}
+      FROM hashed GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id,
+             CAST({combine(0)} AS BIGINT) AS simhash_hi,
+             CAST({combine(32)} AS BIGINT) AS simhash_lo
+      FROM bits)
+    """
+
+
+@_q("simhash64", f"WITH {_simhash64_ctes()} SELECT * FROM sh")
+def simhash64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash64, token_sets
+
+    d = _tbl(spark, sf_dir, "documents")
+    return simhash64(token_sets(d, df_cap_inv=None))
+
+
+@_q(
+    "simhash_hamming_pairs",
+    f"""
+    WITH {_simhash64_ctes()},
+    stacked AS (
+      SELECT doc_id, simhash_hi, simhash_lo, 0 AS band_idx,
+             simhash_hi >> 16 AS band_val FROM sh
+      UNION ALL
+      SELECT doc_id, simhash_hi, simhash_lo, 1, simhash_hi & 65535 FROM sh
+      UNION ALL
+      SELECT doc_id, simhash_hi, simhash_lo, 2, simhash_lo >> 16 FROM sh
+      UNION ALL
+      SELECT doc_id, simhash_hi, simhash_lo, 3, simhash_lo & 65535 FROM sh),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+                  + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS BIGINT) AS hamming
+      FROM stacked a JOIN stacked b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming <= 3 with 4 bands of 16: recall is exact by pigeonhole
+    (the Manku et al. 64-bit/k=3 parameterization)."""
+    from .operators.dedup import simhash64, simhash_hamming_pairs, token_sets
+
+    d = _tbl(spark, sf_dir, "documents")
+    sh = simhash64(token_sets(d, df_cap_inv=None))
+    return simhash_hamming_pairs(sh, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1042,8 +1191,10 @@ def _lsh_proj_duck(j: int) -> str:
     )
     + " AS BIGINT) AS bucket FROM embeddings",
 )
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _tbl(spark, sf_dir, "embeddings")
+def _lsh_bucket_col(embedding=None):
+    """8-bit sign-LSH bucket id from md5-derived hyperplanes (the same
+    deterministic planes the DuckDB twin derives)."""
+    embedding = embedding if embedding is not None else F.col("embedding")
     hi = ["8", "9", "a", "b", "c", "d", "e", "f"]
 
     def make_signs(j: int):
@@ -1064,14 +1215,82 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(8):
         signs = make_signs(j)
         prods = F.zip_with(
-            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.transform(embedding, lambda x: x.cast("double")),
             signs,
             lambda x, s: F.round(x * s, 9),
         )
         proj = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         term = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    return e.select("vec_id", bucket.cast("long").alias("bucket"))
+    return bucket.cast("long")
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _tbl(spark, sf_dir, "embeddings")
+    return e.select("vec_id", _lsh_bucket_col().alias("bucket"))
+
+
+# The DEFAULT embedding near-dup route (scale path): sign-LSH bucket
+# assignment is narrow/map-side; candidate pairs exist only within a
+# bucket, so pair work is sum(bucket_size^2) over 256 buckets instead of
+# corpus^2. The all-pairs dedup_embedding_neardup below stays as a
+# verification baseline on a sample. Vectors alone in their bucket emit
+# no row (inherent LSH approximation, same on both engines).
+@_q(
+    "neardup_ann",
+    f"""
+    WITH b AS (
+      SELECT vec_id, CAST("""
+    + " + ".join(
+        f"(CASE WHEN {_lsh_proj_duck(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+    )
+    + f""" AS BIGINT) AS bucket FROM embeddings),
+    pairs AS (
+      SELECT qa.vec_id, qb.vec_id AS neighbor_id,
+             {_DOT_DUCK} / (sqrt({_NORM_DUCK.format(t='q')}) * sqrt({_NORM_DUCK.format(t='c')}))
+               AS cosine
+      FROM b qa
+      JOIN b qb ON qb.bucket = qa.bucket AND qb.vec_id <> qa.vec_id
+      JOIN embeddings q ON q.vec_id = qa.vec_id
+      JOIN embeddings c ON c.vec_id = qb.vec_id),
+    ranked AS (
+      SELECT vec_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT vec_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+           cosine >= 0.95 AS near_dup
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = _tbl(spark, sf_dir, "embeddings").withColumn("bucket", _lsh_bucket_col())
+    q = e.select("vec_id", "bucket", F.col("embedding").alias("qe"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("__cb"),
+        F.col("embedding").alias("ce"),
+    )
+    pairs = q.join(
+        c, (F.col("bucket") == F.col("__cb")) & (F.col("neighbor_id") != F.col("vec_id"))
+    )
+    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", cosine)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            (F.col("cosine") >= 0.95).alias("near_dup"),
+        )
+    )
 
 
 # Language-ID heuristic: the pandas-UDF scorer vs a pure-SQL reimplementation
@@ -1743,9 +1962,9 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Embedding-cosine near-duplicate detection: nearest neighbor within a
-# deterministic sample + a near-dup verdict at 0.95 cosine — the embedding
-# flavor of the dedup family (exact/minhash/simhash/jaccard above).
+# Embedding-cosine near-duplicate detection — VERIFICATION BASELINE ONLY
+# (all-pairs within a deterministic sample; quadratic in corpus size).
+# The default route at scale is neardup_ann above (sign-LSH bucket-first).
 @_q(
     "dedup_embedding_neardup",
     f"""

@@ -1,0 +1,263 @@
+"""Scale-path near-duplicate detection: MinHash-LSH, SimHash, sign-LSH ANN.
+
+These are the DEFAULT routes for pair-generating dedup at 100 TB. The
+all-pairs forms (token self-join, broadcast cross-join) stay next to them
+in driver_queries as verification baselines only — their candidate count
+is quadratic in token document frequency / corpus size, which a single
+stop-word or 10^9 rows turns into a non-plan. Here every pair-generating
+step is bucket-first:
+
+  * MinHash: 64 permutations banded 16x4 — at Jaccard s the candidate
+    probability is 1-(1-s^4)^16 (~0.9998 at s=0.8), and only docs sharing
+    a band bucket are ever joined.
+  * Document-frequency cap: tokens appearing in more than df_cap_frac of
+    docs are dropped before signatures AND verification (a Zipf head
+    token is a near-cross-join; the hot-token list is tiny by
+    construction, so it broadcasts).
+  * SimHash 64-bit (two salted md5 halves) with 4x16-bit Hamming bands —
+    candidates share at least one band, verified by exact Hamming
+    distance via bit_count(xor).
+
+All hashes are md5-derived strings/bits so the DuckDB oracle twins agree
+bit-for-bit (same convention as the round-1 minhash queries).
+
+Reference analog: the dedup family has no counterpart in the reference
+(its dedup is key-based, plugins/services/reconciliation_runner.py:501-631);
+these are the LLM-training-data operators the brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PERMS = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+def token_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap_inv: int | None = 5,
+) -> DataFrame:
+    """Distinct (id, tok) pairs with a document-frequency cap.
+
+    Tokens present in more than 1/``df_cap_inv`` of all docs are removed —
+    they carry no near-dup signal and their token-equality joins are
+    quadratic in df. The predicate is pure-integer (df * df_cap_inv >
+    n_docs) so the DuckDB oracle agrees exactly (float fractions would
+    hit DECIMAL-vs-DOUBLE rounding differences across engines). The
+    hot-token list is computed distributed and broadcast for the anti
+    join (it is small by Zipf's law).
+    """
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).distinct()
+    if df_cap_inv is None:
+        return toks
+    ndocs = toks.agg(F.countDistinct(id_col).alias("__nd"))
+    hot = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("__df"))
+        .crossJoin(F.broadcast(ndocs))
+        .filter(F.col("__df") * F.lit(df_cap_inv) > F.col("__nd"))
+        .select("tok")
+    )
+    return toks.join(F.broadcast(hot), on="tok", how="left_anti").select(id_col, "tok")
+
+
+def _minhash(k: int):
+    return F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{k}")).cast("binary")))
+
+
+def minhash_band_signatures(
+    toks: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc MinHash signature compressed to N_BANDS band keys.
+
+    Each band key is md5 of ROWS_PER_BAND consecutive minhash values —
+    equal band key <=> equal minhash rows, the standard LSH banding.
+    One groupBy over the token pairs; narrow afterwards.
+    """
+    mins = [
+        _minhash(k).alias(f"__m{k}") for k in range(N_PERMS)
+    ]
+    sig = toks.groupBy(id_col).agg(*mins)
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"__m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).cast("binary")
+        ).alias(f"band{b:02d}")
+        for b in range(N_BANDS)
+    ]
+    return sig.select(F.col(id_col), *bands)
+
+
+def band_buckets(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Unpivot band columns to (id, band_idx, band_key) rows."""
+    stack_args = ", ".join(f"{b}, band{b:02d}" for b in range(N_BANDS))
+    return sig.selectExpr(
+        id_col, f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)"
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing at least one band bucket.
+
+    The self-join is on (band_idx, band_key) — only same-bucket docs meet,
+    so work is sum over buckets of bucket_size^2, bounded by the actual
+    duplication rate instead of the corpus size.
+    """
+    b = band_buckets(sig, id_col)
+    a = b.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    c = b.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(c, on=["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    cands: DataFrame, toks: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """Exact token-set Jaccard within candidate pairs only."""
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ta = toks.select(F.col(id_col).alias("doc_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("__docb"), F.col("tok").alias("__tokb"))
+    inter = (
+        cands.join(ta, on="doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("__docb")) & (F.col("tok") == F.col("__tokb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("__sb"))
+    jac = F.col("n_common") / (F.col("__sa") + F.col("__sb") - F.col("n_common"))
+    return (
+        inter.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def jaccard_pairs_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    df_cap_inv: int = 5,
+) -> DataFrame:
+    """The default near-dup route: DF cap -> MinHash 64x(16x4) LSH
+    candidates -> exact Jaccard verify within buckets."""
+    toks = token_sets(docs, id_col, text_col, df_cap_inv)
+    sig = minhash_band_signatures(toks, id_col)
+    cands = lsh_candidate_pairs(sig, id_col)
+    return jaccard_verify(cands, toks, id_col, threshold)
+
+
+# --- SimHash 64-bit -------------------------------------------------------
+
+_HI_NIBBLES = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+def _half_bits(hash_col, base: int) -> list:
+    """32 signed bit-sums from the nibble high bits of one md5 column."""
+    return [
+        F.sum(
+            F.when(F.substring(hash_col, k + 1, 1).isin(_HI_NIBBLES), 1).otherwise(-1)
+        ).alias(f"s{base + k}")
+        for k in range(32)
+    ]
+
+
+def simhash64(toks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (simhash_hi, simhash_lo).
+
+    Two salted md5s supply 32 nibble-high bits each; storing halves in
+    two BIGINTs sidesteps the sign bit of a single 64-bit value and makes
+    the Hamming distance a pair of bit_count(xor(...)) calls.
+    """
+    h1 = F.md5(F.col("tok").cast("binary"))
+    h2 = F.md5(F.concat(F.col("tok"), F.lit("#s1")).cast("binary"))
+    hashed = toks.select(id_col, h1.alias("__h1"), h2.alias("__h2"))
+    aggs = _half_bits(F.col("__h1"), 0) + _half_bits(F.col("__h2"), 32)
+    bits = hashed.groupBy(id_col).agg(*aggs)
+
+    def combine(base: int):
+        out = None
+        for k in range(32):
+            term = F.when(F.col(f"s{base + k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            out = term if out is None else out + term
+        return out.cast("long")
+
+    return bits.select(
+        F.col(id_col),
+        combine(0).alias("simhash_hi"),
+        combine(32).alias("simhash_lo"),
+    )
+
+
+def simhash_band_cols():
+    """4x16-bit Hamming band values from the two 32-bit halves."""
+    return {
+        "b0": F.shiftright(F.col("simhash_hi"), 16),
+        "b1": F.col("simhash_hi").bitwiseAND(F.lit(65535)),
+        "b2": F.shiftright(F.col("simhash_lo"), 16),
+        "b3": F.col("simhash_lo").bitwiseAND(F.lit(65535)),
+    }
+
+
+def simhash_hamming_pairs(
+    sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share >=1 of 4 16-bit bands,
+    verified by exact 64-bit Hamming distance.
+
+    Completeness: with 4 bands, any pair at Hamming <= 3 leaves at least
+    one band untouched (pigeonhole), so recall is EXACT for the default
+    threshold — the standard 64-bit/k=3/4-table parameterization (Manku
+    et al., WWW'07). Raising max_hamming above 3 makes recall best-effort
+    (a pair can flip a bit in every band).
+    """
+    with_bands = sh
+    for name, col in simhash_band_cols().items():
+        with_bands = with_bands.withColumn(name, col)
+    stacked = with_bands.selectExpr(
+        id_col,
+        "simhash_hi",
+        "simhash_lo",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)",
+    )
+    a = stacked.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash_hi").alias("__hia"),
+        F.col("simhash_lo").alias("__loa"),
+        "band_idx",
+        "band_val",
+    )
+    b = stacked.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash_hi").alias("__hib"),
+        F.col("simhash_lo").alias("__lob"),
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.expr("bit_count(__hia ^ __hib) + bit_count(__loa ^ __lob)")
+    return (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,142 @@
+"""Unit tests for the bucket-first dedup library (operators/dedup.py).
+
+Planted cases: an exact duplicate pair, a near-duplicate pair (one token
+changed), unrelated filler docs, and a ubiquitous stop-token ('the') that
+the document-frequency cap must drop before any pair generation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from dataquality_box_spark.operators.dedup import (
+    jaccard_pairs_lsh,
+    lsh_candidate_pairs,
+    minhash_band_signatures,
+    simhash64,
+    simhash_hamming_pairs,
+    token_sets,
+)
+
+BASE = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+FILLER_VOCAB = [
+    "zulu yankee xray whiskey victor",
+    "uniform tango sierra romeo quebec",
+    "papa oscar november mike lima",
+    "green blue red yellow purple",
+    "one two three four five",
+    "six seven eight nine ten",
+    "cat dog bird fish horse",
+    "oak pine elm birch maple",
+    "north south east west center",
+]
+
+
+def _docs(spark):
+    texts = ["the " + BASE, "the " + BASE, "the " + BASE.replace("juliet", "kilo")]
+    texts += ["the " + v for v in FILLER_VOCAB]
+    rows = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    return spark.createDataFrame(rows)
+
+
+def test_df_cap_drops_ubiquitous_token(spark):
+    # 12 docs, cap 1/2: dropped iff df*2 > 12 -> 'the' (df=12) goes,
+    # the BASE vocabulary (df=3) stays
+    toks = token_sets(_docs(spark), df_cap_inv=2)
+    kept = {r["tok"] for r in toks.select("tok").distinct().collect()}
+    assert "the" not in kept
+    assert {"alpha", "juliet", "kilo", "zulu"} <= kept
+
+
+def test_lsh_finds_planted_near_dups(spark):
+    pairs = jaccard_pairs_lsh(_docs(spark), threshold=0.8, df_cap_inv=2).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 2) in got  # exact dup (jaccard 1.0)
+    assert (1, 3) in got and (2, 3) in got  # 9/11 = 0.818 >= 0.8
+    filler_ids = set(range(4, 13))
+    assert all(a not in filler_ids and b not in filler_ids for a, b in got)
+
+
+def test_lsh_candidates_only_within_buckets(spark):
+    toks = token_sets(_docs(spark), df_cap_inv=2)
+    sig = minhash_band_signatures(toks)
+    cands = lsh_candidate_pairs(sig).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(cands["doc_a"], cands["doc_b"])}
+    assert (1, 2) in got
+    # disjoint-vocabulary docs never share a band (equal band key requires
+    # 4 equal minhash rows)
+    filler_ids = set(range(4, 13))
+    assert all(not (a in filler_ids or b in filler_ids) for a, b in got)
+
+
+def test_simhash64_halves(spark):
+    toks = token_sets(_docs(spark), df_cap_inv=None)
+    sh = simhash64(toks)
+    pdf = sh.toPandas().set_index("doc_id")
+    # identical token sets -> identical 64-bit simhash
+    assert pdf.loc[1, "simhash_hi"] == pdf.loc[2, "simhash_hi"]
+    assert pdf.loc[1, "simhash_lo"] == pdf.loc[2, "simhash_lo"]
+    # halves stay in unsigned-32 range (no sign-bit overflow)
+    assert (pdf[["simhash_hi", "simhash_lo"]] >= 0).all().all()
+    assert (pdf[["simhash_hi", "simhash_lo"]] < (1 << 32)).all().all()
+    pairs = simhash_hamming_pairs(sh, max_hamming=3).toPandas()
+    got = {(int(a), int(b)): int(h) for a, b, h in
+           zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"])}
+    assert got[(1, 2)] == 0  # exact dup -> distance 0
+    filler_ids = set(range(4, 13))
+    assert all(not (a in filler_ids or b in filler_ids) for a, b in got)
+
+
+def test_simhash_banding_recall_guarantee(spark):
+    # Constructed signatures: recall at hamming <= 3 is EXACT (pigeonhole
+    # over 4 bands of 16); a pair with one flip in every band is missed
+    # even at a higher verify threshold (documented best-effort regime).
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            # doc 2 = doc 1 with 3 bits flipped, all inside band b1 (hi low half)
+            # doc 3 = doc 1 with 1 bit flipped in EACH of the 4 bands
+            # doc 4 = unrelated pattern
+            "simhash_hi": [
+                0xAAAA5555,
+                0xAAAA5555 ^ 0x00000007,          # 3 flips in b1
+                0xAAAA5555 ^ 0x00010001,          # 1 flip b0, 1 flip b1
+                0x12345678,
+            ],
+            "simhash_lo": [
+                0x0F0F0F0F,
+                0x0F0F0F0F,
+                0x0F0F0F0F ^ 0x00010001,          # 1 flip b2, 1 flip b3
+                0x0BADF00D,
+            ],
+        }
+    )
+    sh = spark.createDataFrame(rows)
+    got3 = {
+        (int(a), int(b)): int(h)
+        for a, b, h in simhash_hamming_pairs(sh, max_hamming=3)
+        .toPandas()[["doc_a", "doc_b", "hamming"]]
+        .itertuples(index=False)
+    }
+    assert got3[(1, 2)] == 3  # guaranteed: bands b0/b2/b3 untouched
+    assert (1, 3) not in got3  # hamming 4 > threshold anyway
+    got8 = {
+        (int(a), int(b))
+        for a, b in simhash_hamming_pairs(sh, max_hamming=8)
+        .toPandas()[["doc_a", "doc_b"]]
+        .itertuples(index=False)
+    }
+    assert (1, 2) in got8
+    assert (1, 3) not in got8  # every band flipped -> never a candidate
+
+
+def test_jaccard_lsh_exact_values(spark):
+    pairs = jaccard_pairs_lsh(_docs(spark), threshold=0.5, df_cap_inv=2).toPandas()
+    m = {(int(a), int(b)): float(j) for a, b, j in
+         zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard"])}
+    assert m[(1, 2)] == 1.0
+    toks = token_sets(_docs(spark), df_cap_inv=2).toPandas()
+    s1 = set(toks[toks.doc_id == 1]["tok"])
+    s3 = set(toks[toks.doc_id == 3]["tok"])
+    expected = round(len(s1 & s3) / len(s1 | s3), 6)
+    assert m[(1, 3)] == expected

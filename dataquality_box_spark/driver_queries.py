@@ -1125,13 +1125,8 @@ _NORM_DUCK = (
 )
 
 
-def _dot_spark(a, b):
-    prods = F.zip_with(
-        F.transform(a, lambda x: x.cast("double")),
-        F.transform(b, lambda x: x.cast("double")),
-        lambda x, y: F.round(x * y, 9),
-    )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+# deterministic rounded-fold dot product (shared with the ANN library)
+from .operators.ann import dot_rounded as _dot_spark  # noqa: E402
 
 
 @_q(
@@ -1183,14 +1178,6 @@ def _lsh_proj_duck(j: int) -> str:
     )
 
 
-@_q(
-    "ann_lsh_buckets",
-    "SELECT vec_id, CAST("
-    + " + ".join(
-        f"(CASE WHEN {_lsh_proj_duck(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
-    )
-    + " AS BIGINT) AS bucket FROM embeddings",
-)
 def _lsh_bucket_col(embedding=None):
     """8-bit sign-LSH bucket id from md5-derived hyperplanes (the same
     deterministic planes the DuckDB twin derives)."""
@@ -1225,6 +1212,14 @@ def _lsh_bucket_col(embedding=None):
     return bucket.cast("long")
 
 
+@_q(
+    "ann_lsh_buckets",
+    "SELECT vec_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN {_lsh_proj_duck(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+    )
+    + " AS BIGINT) AS bucket FROM embeddings",
+)
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _tbl(spark, sf_dir, "embeddings")
     return e.select("vec_id", _lsh_bucket_col().alias("bucket"))
@@ -1839,30 +1834,63 @@ def stateful_conversation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stream_dir, ignore_errors=True)
 
 
-# IVF-style ANN: K data-vector centroids (k-means-style seed = the first K
-# vectors), assign every vector to its nearest centroid by cosine (the
-# inverted-file coarse quantizer), then answer top-k probing ONLY the
-# query's list — the at-scale similarity-search path next to sign-LSH
-# (ann_lsh_buckets). At 100 TB the assignment is one broadcast join of K
-# centroid rows against the embedding scan (narrow, map-side) and search
-# shuffles only within-list candidate pairs instead of the full cross join.
+# IVF-style ANN: K k-means centroids (deterministic first-K seed + 2
+# Lloyd iterations, all DataFrame ops — operators/ann.py), assign every
+# vector to its nearest centroid by cosine (the inverted-file coarse
+# quantizer), then answer top-k probing ONLY the query's list — the
+# at-scale similarity-search path next to sign-LSH (ann_lsh_buckets).
+# At 100 TB: assignment is a broadcast join of K centroid rows against
+# the embedding scan (narrow); each k-means update is one groupBy of
+# K*64 cells; search shuffles only within-list candidate pairs.
 _IVF_K = 4
-_IVF_ASSIGN_DUCK = f"""
-    SELECT v.vec_id, cen.vec_id AS centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY {_DOT_DUCK.replace('q.', 'v.').replace('c.', 'cen.')}
-                      / sqrt({_NORM_DUCK.format(t='cen')}) DESC, cen.vec_id) AS crnk
-    FROM embeddings v JOIN embeddings cen ON cen.vec_id < {_IVF_K}
-"""
+_IVF_ITERS = 2
+
+
+def _dotd(a: str, b: str) -> str:
+    """Generic DuckDB rounded-fold dot product over two list exprs."""
+    return (
+        "list_reduce(list_transform(range(1, 65), i -> "
+        f"round(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE), 9)), (x, y) -> x + y)"
+    )
+
+
+def _ivf_kmeans_sql() -> str:
+    """WITH-chain: seed -> iters x (assign -> update) -> final assign."""
+    ctes = [
+        f"""cen0 AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS cen_e
+      FROM embeddings WHERE vec_id < {_IVF_K})""",
+        "pos AS (SELECT unnest(range(1, 65)) AS i)",
+    ]
+    for it in range(_IVF_ITERS + 1):
+        ctes.append(
+            f"""assign{it} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_dotd('v.embedding', 'c.cen_e')} / sqrt({_dotd('c.cen_e', 'c.cen_e')})
+                 DESC, c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN cen{it} c) WHERE rn = 1)"""
+        )
+        if it < _IVF_ITERS:
+            ctes.append(
+                f"""cen{it + 1} AS (
+      SELECT centroid_id, list(val ORDER BY i) AS cen_e FROM (
+        SELECT a.centroid_id, p.i,
+               ROUND(AVG(CAST(v.embedding[p.i] AS DOUBLE)), 4) AS val
+        FROM assign{it} a JOIN embeddings v ON v.vec_id = a.vec_id
+        CROSS JOIN pos p
+        GROUP BY a.centroid_id, p.i) GROUP BY centroid_id)"""
+            )
+    return ",\n    ".join(ctes)
 
 
 @_q(
     "ivf_ann_topk",
     f"""
-    WITH assign AS ({_IVF_ASSIGN_DUCK}),
-    lists AS (
-      SELECT vec_id, centroid_id FROM assign WHERE crnk = 1),
+    WITH {_ivf_kmeans_sql()},
+    lists AS (SELECT vec_id, centroid_id FROM assign{_IVF_ITERS}),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              {_DOT_DUCK} / (sqrt({_NORM_DUCK.format(t='q')}) * sqrt({_NORM_DUCK.format(t='c')}))
@@ -1881,52 +1909,14 @@ _IVF_ASSIGN_DUCK = f"""
     """,
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantize (broadcast K centroids, argmax cosine) then
-    top-3 cosine search probing only the query's inverted list."""
-    from pyspark.sql import Window as W
+    """IVF with k-means coarse quantizer (2 Lloyd iterations from the
+    first-K seed) then top-3 cosine search probing only the query's
+    inverted list. Library: operators/ann.py."""
+    from .operators.ann import ivf_kmeans_centroids, ivf_topk
 
     e = _tbl(spark, sf_dir, "embeddings")
-    cen = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cen_e")
-    )
-    sim = _dot_spark(F.col("embedding"), F.col("cen_e")) / F.sqrt(
-        _dot_spark(F.col("cen_e"), F.col("cen_e"))
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("centroid_id"))
-    lists = (
-        e.join(F.broadcast(cen))
-        .withColumn("__sim", sim)
-        .withColumn("__crnk", F.row_number().over(w_assign))
-        .filter(F.col("__crnk") == 1)
-        .select("vec_id", "centroid_id", "embedding")
-    )
-    q = lists.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("centroid_id").alias("qc"),
-        F.col("embedding").alias("qe"),
-    )
-    c = lists.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("centroid_id").alias("cc"),
-        F.col("embedding").alias("ce"),
-    )
-    pairs = q.join(c, (F.col("cc") == F.col("qc")) & (F.col("cand_id") != F.col("query_id")))
-    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (
-        F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        pairs.withColumn("cosine", cosine)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select(
-            "query_id",
-            F.col("rnk").cast("int").alias("rnk"),
-            "cand_id",
-            F.round("cosine", 6).alias("cosine"),
-        )
-    )
+    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS)
+    return ivf_topk(e, cen, F.col("vec_id") < 5, k=3)
 
 
 # BPE-ish tokenizer: GPT-2-style pre-tokenization regex restricted to the

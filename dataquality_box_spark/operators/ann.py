@@ -1,0 +1,144 @@
+"""IVF-style approximate nearest neighbor: k-means coarse quantizer.
+
+The scale path for similarity search next to sign-LSH bucketing: K
+centroids are learned with Lloyd iterations expressed as DataFrame ops —
+
+  assign   broadcast join of K centroid rows against the embedding scan
+           (narrow, map-side) + argmax cosine via row_number
+  update   posexplode to (centroid, coord, val) -> per-coordinate mean
+           (partial aggregation map-side) -> re-assemble the 64-dim array
+
+so each iteration is one broadcast join + one groupBy of K*64 cells; no
+driver-side math, no collect. At 10^9 vectors the cost is two narrow
+passes per iteration.
+
+Cross-engine exactness (DuckDB oracle): per-term products are rounded to
+9 decimals and folded in array order; centroid means are rounded to 4
+decimals, so both engines see bit-identical centroids unless a true mean
+sits within float-sum noise (~1e-13) of a 0.00005 boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_rounded(a, b):
+    """Deterministic dot product: ordered fold of per-term rounded
+    products (matches DuckDB list_reduce/list_transform bit-for-bit)."""
+    prods = F.zip_with(
+        F.transform(a, lambda x: x.cast("double")),
+        F.transform(b, lambda x: x.cast("double")),
+        lambda x, y: F.round(x * y, 9),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_to_centroids(
+    emb: DataFrame, cen: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Nearest centroid by cosine (query norm is constant per row, so
+    only the centroid norm matters for the argmax). Ties break by
+    centroid_id. K centroid rows broadcast; the join is narrow."""
+    c = cen.select("centroid_id", F.col("embedding").alias("__cen_e"))
+    sim = dot_rounded(F.col(emb_col), F.col("__cen_e")) / F.sqrt(
+        dot_rounded(F.col("__cen_e"), F.col("__cen_e"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    return (
+        emb.join(F.broadcast(c))
+        .withColumn("__sim", sim)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "centroid_id", emb_col)
+    )
+
+
+def update_centroids(assign: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Per-coordinate mean of member vectors, rounded to 4 decimals.
+
+    posexplode -> groupBy(centroid, coord) runs with map-side partial
+    aggregation; the final collect_list per centroid is only 64 elements.
+    Centroids that lose all members simply vanish (same on both engines).
+    """
+    memb = assign.select(
+        "centroid_id",
+        F.posexplode(F.transform(F.col(emb_col), lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    percoord = memb.groupBy("centroid_id", "pos").agg(
+        F.round(F.avg("val"), 4).alias("val")
+    )
+    return percoord.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
+        ).alias("embedding")
+    )
+
+
+def ivf_kmeans_centroids(
+    emb: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """K centroids after ``iters`` Lloyd iterations from a deterministic
+    seed (the first K vectors by id, rounded like every later centroid)."""
+    cen = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"),
+        F.transform(F.col(emb_col), lambda x: F.round(x.cast("double"), 4)).alias(
+            "embedding"
+        ),
+    )
+    for _ in range(iters):
+        assign = assign_to_centroids(emb, cen, id_col, emb_col)
+        cen = update_centroids(assign, emb_col)
+    return cen
+
+
+def ivf_topk(
+    emb: DataFrame,
+    cen: DataFrame,
+    query_pred,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors probing ONLY the query's inverted list.
+
+    The search join is on centroid_id, so candidate pairs shuffle within
+    lists instead of the full cross join.
+    """
+    lists = assign_to_centroids(emb, cen, id_col, emb_col)
+    q = lists.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id").alias("__qc"),
+        F.col(emb_col).alias("__qe"),
+    )
+    c = lists.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("centroid_id").alias("__cc"),
+        F.col(emb_col).alias("__ce"),
+    )
+    pairs = q.join(
+        c, (F.col("__cc") == F.col("__qc")) & (F.col("cand_id") != F.col("query_id"))
+    )
+    cosine = dot_rounded(F.col("__qe"), F.col("__ce")) / (
+        F.sqrt(dot_rounded(F.col("__qe"), F.col("__qe")))
+        * F.sqrt(dot_rounded(F.col("__ce"), F.col("__ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("cosine", cosine)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "cand_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -2039,3 +2039,167 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("__norm", norm)
         .select("doc_id", rolling.alias("rolling_hash"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Severity-routed alert/asset emission (reference: aggregator.py:178-435 +
+# dispatcher.py:46-81), exercised end-to-end through the rules engine and
+# operators/alerts.py on the transcripts derivation. Three inline rules:
+#   R_TOX   P0 filter on the toxicity flag       -> alert row
+#   R_TOOL  P1 tool-use turns                    -> asset rows (field_mapping)
+#   R_SHORT P2 too-short turns, exempt_field=conv_id vs the P1 whitelist
+_EMIT_RULES = [
+    {
+        "meta": {
+            "rule_id": "R_TOX",
+            "severity": "P0",
+            "alert": {"trigger_id_field": "turn_uid", "title": "toxic content"},
+        },
+        "logic": {"type": "filter", "filter_expr": "col('toxicity')"},
+    },
+    {
+        "meta": {
+            "rule_id": "R_TOOL",
+            "severity": "P1",
+            "asset": {
+                "field_mapping": {"asset_id": "conv_id", "src_turn": "turn_idx"},
+                "asset_type": "TOOL_DEMO",
+                "tags": ["tool_use"],
+                "target_path_template": "corner_case/{batch_id}/{rule_id}/{asset_id}/",
+            },
+        },
+        # narrow predicate: the sf0.01 data has tool turns in EVERY
+        # conversation, which would whitelist all P2 hits and make the
+        # exemption vacuous — this leaves ~80% of hits unexempted
+        "logic": {
+            "type": "filter",
+            "filter_expr": "(col('tool') == lit('tool_0')) & (col('turn_idx') < lit(5))",
+        },
+    },
+    {
+        "meta": {
+            "rule_id": "R_SHORT",
+            "severity": "P2",
+            "alert": {"trigger_id_field": "turn_uid", "title": "too short"},
+            "exemption": {"exempt_field": "conv_id"},
+        },
+        "logic": {"type": "filter", "filter_expr": "col('too_short')"},
+    },
+]
+
+
+def _emission_inputs(spark: SparkSession, sf_dir: str):
+    from .functions.text import text_flag_columns
+    from .operators.alerts import emit_from_results
+    from .operators.rules import Rule, run_rules
+
+    t = transcripts_view(spark, sf_dir)
+    flags = text_flag_columns(F.col("text"), HEURISTIC_CONFIG)
+    frame = t.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")).alias(
+            "turn_uid"
+        ),
+        flags["toxicity"].alias("toxicity"),
+        flags["too_short"].alias("too_short"),
+    )
+    rules = [Rule.from_dict(d) for d in _EMIT_RULES]
+    results = run_rules(rules, frame)
+    return emit_from_results(rules, results, batch_id="batch0")
+
+
+_EMIT_FLAGS = f"""
+      SELECT conv_id, turn_idx, tool,
+             conv_id || '#' || CAST(turn_idx AS STRING) AS turn_uid,
+             {_FLAGS_SQL}
+      FROM t"""
+
+
+@_q(
+    "alert_routing",
+    f"""
+    WITH t AS ({{TRANSCRIPTS}}),
+    u AS ({_EMIT_FLAGS}),
+    p1 AS (SELECT DISTINCT CAST(conv_id AS STRING) AS wid FROM u
+           WHERE tool = 'tool_0' AND turn_idx < 5),
+    p0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hit_count,
+                  array_to_string(list_slice(list_sort(list(DISTINCT turn_uid)), 1, 50), ',')
+                    AS trigger_ids
+           FROM u WHERE toxicity),
+    p2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hit_count,
+                  array_to_string(list_slice(list_sort(list(DISTINCT turn_uid)), 1, 50), ',')
+                    AS trigger_ids
+           FROM u WHERE too_short
+             AND CAST(conv_id AS STRING) NOT IN (SELECT wid FROM p1))
+    SELECT 'R_TOX' AS rule_id, 'P0' AS severity, 'toxic content' AS title,
+           hit_count, 'turn_uid' AS trigger_id_field, trigger_ids
+    FROM p0 WHERE hit_count > 0
+    UNION ALL
+    SELECT 'R_SHORT', 'P2', 'too short', hit_count, 'turn_uid', trigger_ids
+    FROM p2 WHERE hit_count > 0
+    """.replace("{TRANSCRIPTS}", TRANSCRIPTS_SQL_DUCKDB),
+)
+def alert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alerts, _assets = _emission_inputs(spark, sf_dir)
+    return alerts
+
+
+@_q(
+    "asset_rows",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
+    SELECT CAST(conv_id AS STRING) AS asset_id,
+           CAST(turn_idx AS STRING) AS src_turn,
+           'TOOL_DEMO' AS asset_type,
+           'R_TOOL' AS rule_id,
+           'tool_use' AS tags_csv,
+           'corner_case/batch0/R_TOOL/' || conv_id || '/' AS target_path
+    FROM t WHERE tool = 'tool_0' AND turn_idx < 5
+    """,
+)
+def asset_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _alerts, assets = _emission_inputs(spark, sf_dir)
+    return assets.select(
+        "asset_id",
+        "src_turn",
+        "asset_type",
+        "rule_id",
+        F.array_join("tags", ",").alias("tags_csv"),
+        "target_path",
+    )
+
+
+# Dispatcher digest over the routed alerts (reference: dispatcher.py:46-81
+# severity grouping; rendered lines sorted for determinism)
+@_q(
+    "dispatch_digest",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    u AS ({_EMIT_FLAGS}),
+    p1 AS (SELECT DISTINCT CAST(conv_id AS STRING) AS wid FROM u
+           WHERE tool = 'tool_0' AND turn_idx < 5),
+    alerts AS (
+      SELECT 'R_TOX' AS rule_id, 'P0' AS severity, 'toxic content' AS title,
+             CAST(COUNT(*) AS BIGINT) AS hit_count
+      FROM u WHERE toxicity HAVING COUNT(*) > 0
+      UNION ALL
+      SELECT 'R_SHORT', 'P2', 'too short', CAST(COUNT(*) AS BIGINT)
+      FROM u WHERE too_short
+        AND CAST(conv_id AS STRING) NOT IN (SELECT wid FROM p1)
+      HAVING COUNT(*) > 0)
+    SELECT severity,
+           CAST(COUNT(*) AS BIGINT) AS n_alerts,
+           CAST(SUM(hit_count) AS BIGINT) AS total_hits,
+           array_to_string(
+             list_sort(list(printf('[%s] %s: %d hits', rule_id, title, hit_count))),
+             chr(10)) AS digest
+    FROM alerts GROUP BY severity
+    """,
+)
+def dispatch_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.alerts import dispatch_digest
+
+    alerts, _assets = _emission_inputs(spark, sf_dir)
+    return dispatch_digest(alerts)

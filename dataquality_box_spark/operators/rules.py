@@ -120,10 +120,43 @@ class RuleResult:
     hits: DataFrame | None
     hit_count: int | None = None
     reason: str | None = None
+    execution_time_sec: float | None = None
+
+
+def toposort_rules(rules: list[Rule]) -> list[Rule]:
+    """Order rules so every ``meta.depends_on`` predecessor comes first
+    (reference: rule_scanner.py topological sort + cycle rejection).
+    Unknown dependencies and cycles are config errors. Kahn's algorithm
+    with lexicographic tie-breaks keeps the order deterministic."""
+    by_id = {r.rule_id: r for r in rules}
+    deps: dict[str, set[str]] = {}
+    for r in rules:
+        declared = r.meta.get("depends_on") or []
+        missing = [d for d in declared if d not in by_id]
+        if missing:
+            raise RuleConfigError(
+                f"rule {r.rule_id!r} depends on unknown rule(s): {missing}"
+            )
+        deps[r.rule_id] = set(declared)
+    ordered: list[Rule] = []
+    remaining = dict(deps)
+    while remaining:
+        ready = sorted(rid for rid, d in remaining.items() if not d)
+        if not ready:
+            raise RuleConfigError(
+                f"dependency cycle among rules: {sorted(remaining)}"
+            )
+        for rid in ready:
+            ordered.append(by_id[rid])
+            del remaining[rid]
+        for d in remaining.values():
+            d.difference_update(ready)
+    return ordered
 
 
 def load_rules(path: str) -> list[Rule]:
-    """Load all rule YAMLs in a directory (reference: rule_scanner.py:52-101)."""
+    """Load all rule YAMLs in a directory, topologically sorted by
+    ``meta.depends_on`` (reference: rule_scanner.py:52-101)."""
     if yaml is None:  # pragma: no cover
         raise RuntimeError("pyyaml unavailable")
     rules = []
@@ -135,7 +168,7 @@ def load_rules(path: str) -> list[Rule]:
     ids = [r.rule_id for r in rules]
     if len(ids) != len(set(ids)):
         raise RuleConfigError(f"duplicate rule_ids: {ids}")
-    return rules
+    return toposort_rules(rules)
 
 
 def _apply_pre_compute(df: DataFrame, logic: dict[str, Any]) -> DataFrame:
@@ -149,19 +182,41 @@ def _agg_exprs(items: list[dict[str, str]]) -> list[Column]:
 
 
 def evaluate_rule(
-    rule: Rule, df: DataFrame, others: dict[str, DataFrame] | None = None
+    rule: Rule,
+    df: DataFrame,
+    others: dict[str, DataFrame] | None = None,
+    count_hits: bool = False,
 ) -> RuleResult:
     """Evaluate one rule; returns hits + status without raising on
-    business errors (reference: rule_engine.py:91-210)."""
+    business errors (reference: rule_engine.py:91-210).
+
+    ``count_hits=True`` additionally materializes hit_count and the wall
+    time — one extra count action per rule, used by the reporting stage
+    (reference: report_writer.py:106-171 per-rule rows). Leave it False
+    on the hot path so plans stay lazy.
+    """
+    import time
+
+    t0 = time.time()
     try:
         hits = _evaluate(rule, df, others or {})
-        return RuleResult(rule.rule_id, "SUCCESS", hits)
+        n = hits.count() if count_hits else None
+        return RuleResult(
+            rule.rule_id, "SUCCESS", hits, hit_count=n,
+            execution_time_sec=(time.time() - t0) if count_hits else None,
+        )
     except RuleConfigError as ex:
-        return RuleResult(rule.rule_id, "FAILED", None, reason=str(ex))
+        return RuleResult(
+            rule.rule_id, "FAILED", None, reason=str(ex),
+            execution_time_sec=time.time() - t0,
+        )
     except Exception as ex:  # analysis errors -> missing column etc.
         name = type(ex).__name__
         if "AnalysisException" in name or "UNRESOLVED" in str(ex):
-            return RuleResult(rule.rule_id, "SKIPPED", None, reason=f"{name}: {ex}")
+            return RuleResult(
+                rule.rule_id, "SKIPPED", None, reason=f"{name}: {ex}",
+                execution_time_sec=time.time() - t0,
+            )
         raise
 
 
@@ -212,6 +267,9 @@ def _evaluate(rule: Rule, df: DataFrame, others: dict[str, DataFrame]) -> DataFr
 
 
 def run_rules(
-    rules: list[Rule], df: DataFrame, others: dict[str, DataFrame] | None = None
+    rules: list[Rule],
+    df: DataFrame,
+    others: dict[str, DataFrame] | None = None,
+    count_hits: bool = False,
 ) -> list[RuleResult]:
-    return [evaluate_rule(r, df, others) for r in rules]
+    return [evaluate_rule(r, df, others, count_hits=count_hits) for r in rules]

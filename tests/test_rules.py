@@ -101,3 +101,42 @@ def test_compare_cross_entity(spark, transcripts_df):
     res = evaluate_rule(rule, transcripts_df, {"conv_stats": stats})
     assert res.status == "SUCCESS"
     assert res.hits.count() == 0  # self-derived stats always agree
+
+
+def _dep_rule(rid, depends_on=None):
+    meta = {"rule_id": rid, "severity": "P2"}
+    if depends_on:
+        meta["depends_on"] = depends_on
+    return Rule.from_dict(
+        {"meta": meta, "logic": {"type": "filter", "filter_expr": "lit(True)"}}
+    )
+
+
+def test_toposort_dependency_chain():
+    from dataquality_box_spark.operators.rules import toposort_rules
+
+    # declared out of order: C -> B -> A plus an independent D
+    rules = [
+        _dep_rule("C", ["B"]),
+        _dep_rule("D"),
+        _dep_rule("B", ["A"]),
+        _dep_rule("A"),
+    ]
+    ordered = [r.rule_id for r in toposort_rules(rules)]
+    assert ordered.index("A") < ordered.index("B") < ordered.index("C")
+    assert set(ordered) == {"A", "B", "C", "D"}
+
+
+def test_toposort_rejects_cycle():
+    from dataquality_box_spark.operators.rules import toposort_rules
+
+    rules = [_dep_rule("A", ["B"]), _dep_rule("B", ["A"])]
+    with pytest.raises(RuleConfigError, match="cycle"):
+        toposort_rules(rules)
+
+
+def test_toposort_rejects_unknown_dependency():
+    from dataquality_box_spark.operators.rules import toposort_rules
+
+    with pytest.raises(RuleConfigError, match="unknown"):
+        toposort_rules([_dep_rule("A", ["GHOST"])])

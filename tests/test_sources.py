@@ -92,3 +92,35 @@ def test_latest_wins_dedup(spark):
     )
     out = latest_wins_dedup(df, ["k"], "ver").toPandas().set_index("k").sort_index()
     assert out.loc[1, "v"] == "new" and out.loc[2, "v"] == "x"
+
+
+def test_empty_extraction_diagnostics(spark):
+    """Reference contract (data_quality_runner.py:209-229): an empty
+    extraction triggers a raw-source diagnosis — row count, raw ts
+    bounds, parse-failure counts — instead of silent emptiness."""
+    import pandas as pd
+
+    from dataquality_box_spark.sources.diagnostics import diagnose_if_empty
+
+    raw = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "ts_raw": ["2024-01-01 00:00:00", "garbage", "2024-01-03 00:00:00"],
+            }
+        )
+    )
+    # filter matches nothing (all parses outside the window / dirty)
+    extracted = raw.filter(
+        F.col("ts_raw").try_cast("timestamp") >= "2030-01-01"
+    )
+    diag = diagnose_if_empty(
+        extracted, raw, ts_col="ts_raw", parse_cols={"ts_raw": "timestamp"}
+    )
+    assert diag is not None
+    assert diag["n_rows"] == 3
+    assert diag["ts_raw_parse_nulls"] == 1  # 'garbage'
+    assert diag["ts_raw_min_raw"].startswith("2024-01-01")
+    # non-empty extraction -> no diagnosis
+    ok = raw.filter(F.col("id") == 1)
+    assert diagnose_if_empty(ok, raw) is None

@@ -70,6 +70,57 @@ def ingest(
     )
 
 
+def _process_one(
+    spark: SparkSession,
+    io: TableIO,
+    cfg: QualityConfig,
+    k: int,
+    batch_id: str,
+) -> LedgerEntry:
+    """Full filter+scrub of one partition; returns its ledger entry
+    (the caller appends it AFTER this returns, preserving the
+    data-commit-before-ledger ordering)."""
+    t0 = time.time()
+    part = spark.read.parquet(f"{io.root}/raw/{PART_COL}={k}")
+    # persist the annotated frame: the data write + the two metric
+    # aggregations are three actions, and without a cache each one
+    # re-runs the full feature/score/window pipeline. A partition is
+    # sized to fit executor storage (MEMORY_AND_DISK spills safely).
+    result = run_pipeline(part, cfg).persist()
+    try:
+        # totals ride the data-write action via CollectMetrics (zero
+        # extra passes); only the reason histogram needs a second agg
+        observed, obs = observe_totals(result, name=f"dqx_totals_p{k}")
+        kept = kept_turns(observed)
+        io.overwrite_partition(
+            kept.withColumn(PART_COL, F.lit(k)), "result", PART_COL, k
+        )
+        totals = obs.get
+        n_in, n_kept = int(totals["rows_in"]), int(totals["rows_kept"] or 0)
+        counts = (
+            result.select(F.explode_outer("drop_reasons").alias("r"))
+            .groupBy("r")
+            .count()
+            .collect()
+        )
+        reason_counts = {
+            row["r"]: row["count"] for row in counts if row["r"] is not None
+        }
+    finally:
+        result.unpersist()
+    return LedgerEntry(
+        "process",
+        str(k),
+        "SUCCESS",
+        rows_in=n_in,
+        rows_kept=n_kept,
+        rows_dropped=n_in - n_kept,
+        drop_reason_counts=reason_counts,
+        duration_sec=time.time() - t0,
+        batch_id=batch_id,
+    )
+
+
 def process_partitions(
     spark: SparkSession,
     io: TableIO,
@@ -77,61 +128,52 @@ def process_partitions(
     n_partitions: int = 8,
     batch_id: str = "batch0",
     fail_after: int | None = None,
+    max_concurrent: int = 4,
 ) -> list[str]:
     """Stage 1: filter+scrub each unprocessed partition; returns the
-    partitions processed this invocation. ``fail_after`` injects a crash
-    after N partitions (for resume tests)."""
+    partitions processed this invocation.
+
+    ``max_concurrent`` partition jobs run at once from a bounded driver
+    thread pool — Spark schedules actions from multiple threads within
+    one context, so stragglers and fixed per-job costs overlap instead
+    of serializing (at N=4096 partitions a sequential loop's fixed costs
+    dominate; a handful in flight keeps the cluster saturated without
+    unbounded memory for persisted partitions). Outputs are per-partition
+    directories, so concurrency cannot change bytes; the ledger append is
+    lock-serialized and still happens only after the partition's data
+    commit.
+
+    ``fail_after`` injects a crash after N completed partitions (resume
+    tests); it forces sequential mode so the injection point is exact.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     ledger = Ledger(f"{io.root}/_ledger.jsonl")
     done = ledger.done("process")
-    processed = []
-    for k in range(n_partitions):
-        pid = str(k)
-        if pid in done:
-            continue
-        if fail_after is not None and len(processed) >= fail_after:
-            raise RuntimeError(f"injected failure after {fail_after} partitions")
-        t0 = time.time()
-        part = spark.read.parquet(f"{io.root}/raw/{PART_COL}={k}")
-        # persist the annotated frame: the data write + the two metric
-        # aggregations are three actions, and without a cache each one
-        # re-runs the full feature/score/window pipeline. A partition is
-        # sized to fit executor storage (MEMORY_AND_DISK spills safely).
-        result = run_pipeline(part, cfg).persist()
-        try:
-            # totals ride the data-write action via CollectMetrics (zero
-            # extra passes); only the reason histogram needs a second agg
-            observed, obs = observe_totals(result, name=f"dqx_totals_p{k}")
-            kept = kept_turns(observed)
-            io.overwrite_partition(
-                kept.withColumn(PART_COL, F.lit(k)), "result", PART_COL, k
-            )
-            totals = obs.get
-            n_in, n_kept = int(totals["rows_in"]), int(totals["rows_kept"] or 0)
-            counts = (
-                result.select(F.explode_outer("drop_reasons").alias("r"))
-                .groupBy("r")
-                .count()
-                .collect()
-            )
-            reason_counts = {
-                row["r"]: row["count"] for row in counts if row["r"] is not None
-            }
-        finally:
-            result.unpersist()
-        ledger.append(
-            LedgerEntry(
-                "process",
-                pid,
-                "SUCCESS",
-                rows_in=n_in,
-                rows_kept=n_kept,
-                rows_dropped=n_in - n_kept,
-                drop_reason_counts=reason_counts,
-                duration_sec=time.time() - t0,
-                batch_id=batch_id,
-            )
-        )
-        processed.append(pid)
+    pending = [k for k in range(n_partitions) if str(k) not in done]
+    processed: list[str] = []
+    if fail_after is not None:
+        for k in pending:
+            if len(processed) >= fail_after:
+                raise RuntimeError(f"injected failure after {fail_after} partitions")
+            entry = _process_one(spark, io, cfg, k, batch_id)
+            ledger.append(entry)
+            processed.append(str(k))
+        return processed
+
+    lock = threading.Lock()
+
+    def work(k: int) -> str:
+        entry = _process_one(spark, io, cfg, k, batch_id)
+        with lock:
+            ledger.append(entry)
+        return str(k)
+
+    if not pending:
+        return []
+    with ThreadPoolExecutor(max_workers=max(1, max_concurrent)) as pool:
+        processed = list(pool.map(work, pending))
     return processed
 
 
@@ -142,9 +184,13 @@ def run_resumable(
     cfg: QualityConfig = DEFAULT_CONFIG,
     n_partitions: int = 8,
     fail_after: int | None = None,
+    max_concurrent: int = 4,
 ) -> DataFrame:
     """ingest + process all partitions; returns the kept-turns table."""
     io = TableIO(root)
     ingest(spark, transcripts, io, n_partitions)
-    process_partitions(spark, io, cfg, n_partitions, fail_after=fail_after)
+    process_partitions(
+        spark, io, cfg, n_partitions, fail_after=fail_after,
+        max_concurrent=max_concurrent,
+    )
     return io.read(spark, "result")

@@ -86,3 +86,23 @@ def test_ledger_metrics_consistent(spark, transcripts_df, tmp_path):
     for e in entries:
         assert e.rows_in == e.rows_kept + e.rows_dropped
         assert e.status == "SUCCESS" and e.duration_sec > 0
+
+
+def test_concurrent_processing_matches_sequential(spark, transcripts_df, tmp_path):
+    """max_concurrent > 1 runs partition jobs from a thread pool; the
+    per-partition directory outputs and ledger contents must be identical
+    to sequential execution."""
+    seq = run_resumable(
+        spark, transcripts_df, str(tmp_path / "seq"),
+        n_partitions=N_PARTS, max_concurrent=1,
+    ).toPandas()
+    root = str(tmp_path / "conc")
+    conc = run_resumable(
+        spark, transcripts_df, root, n_partitions=N_PARTS, max_concurrent=4
+    ).toPandas()
+    pd.testing.assert_frame_equal(_normalize(seq), _normalize(conc))
+    entries = [
+        e for e in Ledger(f"{root}/_ledger.jsonl").entries() if e.stage == "process"
+    ]
+    assert sorted(e.partition_id for e in entries) == [str(k) for k in range(N_PARTS)]
+    assert sum(e.rows_in for e in entries) == transcripts_df.count()

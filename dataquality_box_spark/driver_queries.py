@@ -1158,15 +1158,17 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = _tbl(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        norm.alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        norm.alias("cn"),
+    )
     pairs = q.join(F.broadcast(c), F.col("cand_id") != F.col("query_id"))
-    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (
-        F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
-    )
+    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         pairs.withColumn("cosine", cosine)
@@ -1187,29 +1189,27 @@ def _lsh_proj_duck(j: int) -> str:
     )
 
 
+def _lsh_signs(j: int) -> list[float]:
+    """The j-th hyperplane's 64 signs, derived from md5 in PYTHON at plan
+    time — identical values to the DuckDB twin's inline derivation, but
+    embedded as literals so Spark doesn't evaluate 8x64 md5 calls per ROW
+    (that per-row form made bucket assignment the dominant cost)."""
+    import hashlib
+
+    hi = set("89abcdef")
+    return [
+        1.0 if hashlib.md5(f"{j}#{i}".encode()).hexdigest()[0] in hi else -1.0
+        for i in range(1, 65)
+    ]
+
+
 def _lsh_bucket_col(embedding=None):
     """8-bit sign-LSH bucket id from md5-derived hyperplanes (the same
     deterministic planes the DuckDB twin derives)."""
     embedding = embedding if embedding is not None else F.col("embedding")
-    hi = ["8", "9", "a", "b", "c", "d", "e", "f"]
-
-    def make_signs(j: int):
-        # NB: the lambda must take exactly one arg — PySpark passes the
-        # array index as a second arg to 2-parameter lambdas.
-        pre = f"{j}#"
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(pre), i.cast("string")).cast("binary")), 1, 1
-                ).isin(hi),
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-
     bucket = None
     for j in range(8):
-        signs = make_signs(j)
+        signs = F.array(*[F.lit(s) for s in _lsh_signs(j)])
         prods = F.zip_with(
             F.transform(embedding, lambda x: x.cast("double")),
             signs,
@@ -1269,20 +1269,21 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    # norms folded once per VECTOR on each join side (identical values to
+    # folding per pair — the oracle's inline form — but 1/3 the work)
     e = _tbl(spark, sf_dir, "embeddings").withColumn("bucket", _lsh_bucket_col())
-    q = e.select("vec_id", "bucket", F.col("embedding").alias("qe"))
+    norm = F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
+    q = e.select("vec_id", "bucket", F.col("embedding").alias("qe"), norm.alias("qn"))
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("bucket").alias("__cb"),
         F.col("embedding").alias("ce"),
+        norm.alias("cn"),
     )
     pairs = q.join(
         c, (F.col("bucket") == F.col("__cb")) & (F.col("neighbor_id") != F.col("vec_id"))
     )
-    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (
-        F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
-    )
+    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("cosine", cosine)
@@ -1986,13 +1987,14 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 13 == 0)
-    q = e.select(F.col("vec_id"), F.col("embedding").alias("qe"))
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    pairs = q.join(F.broadcast(c), F.col("neighbor_id") != F.col("vec_id"))
-    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (
-        F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+    norm = F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
+    q = e.select(F.col("vec_id"), F.col("embedding").alias("qe"), norm.alias("qn"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+        norm.alias("cn"),
     )
+    pairs = q.join(F.broadcast(c), F.col("neighbor_id") != F.col("vec_id"))
+    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("cosine", cosine)

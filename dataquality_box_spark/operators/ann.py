@@ -113,23 +113,25 @@ def ivf_topk(
     lists instead of the full cross join.
     """
     lists = assign_to_centroids(emb, cen, id_col, emb_col)
+    # norms are per-VECTOR, so fold them once on each side of the join —
+    # folding inside the cosine would redo 2 of the 3 array folds per
+    # candidate PAIR (same values either way; only the plan changes)
     q = lists.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("centroid_id").alias("__qc"),
         F.col(emb_col).alias("__qe"),
+        F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col))).alias("__qn"),
     )
     c = lists.select(
         F.col(id_col).alias("cand_id"),
         F.col("centroid_id").alias("__cc"),
         F.col(emb_col).alias("__ce"),
+        F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col))).alias("__cn"),
     )
     pairs = q.join(
         c, (F.col("__cc") == F.col("__qc")) & (F.col("cand_id") != F.col("query_id"))
     )
-    cosine = dot_rounded(F.col("__qe"), F.col("__ce")) / (
-        F.sqrt(dot_rounded(F.col("__qe"), F.col("__qe")))
-        * F.sqrt(dot_rounded(F.col("__ce"), F.col("__ce")))
-    )
+    cosine = dot_rounded(F.col("__qe"), F.col("__ce")) / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         pairs.withColumn("cosine", cosine)

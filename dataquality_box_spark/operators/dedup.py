@@ -191,8 +191,16 @@ def jaccard_pairs_lsh(
     df_cap_inv: int = 5,
 ) -> DataFrame:
     """The default near-dup route: DF cap -> MinHash 64x(16x4) LSH
-    candidates -> exact Jaccard verify within buckets."""
+    candidates -> exact Jaccard verify within buckets.
+
+    The capped token set feeds three consumers (signatures, sizes, the
+    verify join); without a persist Catalyst re-derives the whole
+    tokenize+DF-cap subtree for each, so it is cached here
+    (MEMORY_AND_DISK — spills instead of failing; released by LRU)."""
     toks = token_sets(docs, id_col, text_col, df_cap_inv)
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_band_signatures(toks, id_col)
     cands = lsh_candidate_pairs(sig, id_col)
     return jaccard_verify(cands, toks, id_col, threshold)

@@ -41,7 +41,10 @@ def merge_upsert(
     else:
         merged = updates
     # write to a staging dir then swap: the overwrite itself must not read
-    # from the directory it is replacing
+    # from the directory it is replacing. The staging dir lives under
+    # io.root — the SAME filesystem as the target by construction — so the
+    # os.replace below is the atomic same-fs rename it requires (an
+    # Iceberg catalog replaces this whole dance with a snapshot commit).
     staging = f"{io.root}/__staging__{table}"
     merged.write.mode("overwrite").option("compression", io.compression).parquet(staging)
     import shutil

@@ -70,3 +70,65 @@ def test_observe_totals_rides_the_write_action(spark, transcripts_df, tmp_path):
     assert int(got["rows_in"]) == int(expect["rows_in"])
     assert int(got["rows_kept"]) == int(expect["rows_kept"])
     assert int(got["rows_kept"]) < int(got["rows_in"])  # some turns dropped
+
+
+def test_dedup_lsh_has_no_cartesian(spark, tmp_path):
+    """The bucket-first dedup route must join candidates on (band_idx,
+    band_key) equality — a cartesian anywhere means the scale argument is
+    void. Also: the hot-token exemption must be a broadcast anti join."""
+    import pandas as pd
+
+    from dataquality_box_spark.operators.dedup import jaccard_pairs_lsh
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b d"]})
+    )
+    plan = _plan(jaccard_pairs_lsh(docs))
+    assert "CartesianProduct" not in plan, plan
+    # every nested-loop join must be the intentional 1-row scalar
+    # broadcast of the doc count (the __nd/__df DF-cap predicate)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "__df" in line and "__nd" in line, line
+    assert "LeftAnti, BuildRight" in plan, plan  # broadcast hot-token anti join
+    assert "band_idx" in plan and "band_key" in plan, plan  # bucket equi-join
+
+
+def test_neardup_ann_joins_on_bucket_equality(spark, tmp_path):
+    """Embedding near-dup pairs only within LSH buckets: the self-join
+    must carry the bucket equi-condition, never a full cross join."""
+    import pandas as pd
+
+    from dataquality_box_spark.driver_queries import _lsh_bucket_col
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.1] * 64, [0.2] * 64]})
+    ).withColumn("bucket", _lsh_bucket_col())
+    q = emb.select("vec_id", "bucket", F.col("embedding").alias("qe"))
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("bucket").alias("cb"),
+        F.col("embedding").alias("ce"),
+    )
+    pairs = q.join(c, (F.col("bucket") == F.col("cb")) & (F.col("nid") != F.col("vec_id")))
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_assign_broadcasts_centroids(spark):
+    """k-means assignment must broadcast the K centroid rows (narrow,
+    map-side) — a shuffle join of N x K would be wrong at 10^9 vectors."""
+    import pandas as pd
+
+    from dataquality_box_spark.operators.ann import assign_to_centroids
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2, 3], "embedding": [[0.1] * 64] * 3})
+    )
+    cen = spark.createDataFrame(
+        pd.DataFrame({"centroid_id": [0], "embedding": [[0.1] * 64]})
+    )
+    plan = _plan(assign_to_centroids(emb, cen))
+    assert "Broadcast" in plan, plan
+    assert plan.count("CartesianProduct") == 0, plan

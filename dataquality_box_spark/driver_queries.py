@@ -2214,3 +2214,133 @@ def dispatch_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     alerts, _assets = _emission_inputs(spark, sf_dir)
     return dispatch_digest(alerts)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: shingle near-dup, sessionization, rollup, exact quantiles.
+
+# Shingle-based near-dup: 3-token shingles through the same MinHash-LSH
+# machinery — unigram token sets conflate docs with similar VOCABULARY;
+# shingles require similar SEQUENCES (the standard text-dedup unit).
+_SHINGLES = (
+    "list_transform(range(1, greatest(len(tk) - 2, 0) + 1), "
+    "i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])"
+)
+
+
+def _shingle_lsh_sql() -> str:
+    return f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest({_SHINGLES}) AS tok FROM tt) u),
+    sig AS ({_minhash_sig_sql()}),
+    bands AS ({_minhash_band_arms()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
+    """
+
+
+@_q("dedup_shingle_lsh", _shingle_lsh_sql())
+def dedup_shingle_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs_lsh_from_tokens, shingle_sets
+
+    d = _tbl(spark, sf_dir, "documents")
+    return jaccard_pairs_lsh_from_tokens(shingle_sets(d, n=3), threshold=0.8)
+
+
+# Event-time sessionization in batch (gaps-and-islands; the batch
+# counterpart of streaming session windows — SURVEY §2.9 notes the
+# reference has no session windows, so this extends the inventory).
+@_q(
+    "event_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM o)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.conversation import session_bounds, sessionize
+
+    ev = _tbl(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_sec=1800, order_extra=("event_id",))
+    return session_bounds(s, "user_id", "ts").select(
+        "user_id",
+        "session_no",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+# ROLLUP grouping sets (beyond the reference inventory — SURVEY §2.4
+# notes grouping sets are absent there; Spark/DuckDB both support them).
+@_q(
+    "pricing_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum("l_extendedprice", "sum_price"), F.count("*").alias("n")
+    )
+
+
+# Exact interpolated percentiles (the exact variant next to the sketch-
+# based approx_stats; Spark percentile() and DuckDB quantile_cont share
+# the linear-interpolation definition, verified bit-exact after round 6).
+@_q(
+    "exact_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )

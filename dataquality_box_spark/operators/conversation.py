@@ -103,3 +103,47 @@ def compact_consecutive_runs(
         .filter(F.col("__rn") == 1)
         .drop("__island", "__rn")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_sec: int,
+    order_extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Event-time sessionization in batch: rows of one ``key`` belong to
+    the same session while consecutive gaps stay within ``gap_sec``.
+
+    Gaps-and-islands over the key window (one shuffle): new-session
+    marker via lag, running sum -> session number. The batch counterpart
+    of Structured Streaming's session windows; the reference's closest
+    analog is the shift-based chain-continuity check
+    (plugins/dq_lib/consistency.py:61-139) whose gap predicate becomes
+    the session boundary here.
+
+    Adds: session_no (1-based per key), session-scoped rows retain all
+    input columns.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, *order_extra)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_sec)
+    ).cast("long")
+    run = Window.partitionBy(key).orderBy(ts_col, *order_extra).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_no", F.sum(new_session).over(run))
+
+
+def session_bounds(
+    sessions: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """Per-session rollup: start/end/duration/row count (reuses the key
+    partitioning from sessionize — no second full shuffle)."""
+    return sessions.groupBy(key, "session_no").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

@@ -195,9 +195,44 @@ def jaccard_pairs_lsh(
 
     The capped token set feeds three consumers (signatures, sizes, the
     verify join); without a persist Catalyst re-derives the whole
-    tokenize+DF-cap subtree for each, so it is cached here
-    (MEMORY_AND_DISK — spills instead of failing; released by LRU)."""
+    tokenize+DF-cap subtree for each, so jaccard_pairs_lsh_from_tokens
+    caches it (MEMORY_AND_DISK — spills instead of failing)."""
     toks = token_sets(docs, id_col, text_col, df_cap_inv)
+    return jaccard_pairs_lsh_from_tokens(toks, id_col, threshold)
+
+
+def shingle_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct (id, tok) pairs where tok is an n-token shingle — the
+    standard unit for near-dup detection (token unigrams conflate
+    documents with similar vocabulary; shingles require similar
+    SEQUENCES). Docs with fewer than n tokens produce no shingles.
+    Output column is named 'tok' so the MinHash/Jaccard machinery applies
+    unchanged."""
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingles = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(shingles).alias("tok")
+    ).distinct()
+
+
+def jaccard_pairs_lsh_from_tokens(
+    toks: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """LSH route over a pre-built (id, tok) set (unigrams, shingles,
+    char n-grams, ...). Persists the set for its three consumers."""
     from pyspark import StorageLevel
 
     toks = toks.persist(StorageLevel.MEMORY_AND_DISK)

@@ -184,3 +184,27 @@ def test_with_salt_deterministic(spark, transcripts_df):
     b = with_salt(transcripts_df, "conv_id").select("__salt").toPandas()
     assert (a["__salt"] == b["__salt"]).all()
     assert a["__salt"].between(0, 15).all()
+
+
+def test_sessionize_gaps_and_islands(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user": ["u1"] * 4 + ["u2"],
+                "ts": [_ts(0), _ts(10), _ts(90), _ts(95), _ts(0)],
+                "eid": [1, 2, 3, 4, 5],
+            }
+        )
+    )
+    from dataquality_box_spark.operators.conversation import (
+        session_bounds,
+        sessionize,
+    )
+
+    s = sessionize(df, "user", "ts", gap_sec=1800, order_extra=("eid",))
+    rows = s.toPandas().set_index("eid").sort_index()
+    # 80-minute gap between minute 10 and 90 splits u1 into two sessions
+    assert list(rows["session_no"]) == [1, 1, 2, 2, 1]
+    b = session_bounds(s, "user", "ts").toPandas()
+    u1 = b[b.user == "u1"].sort_values("session_no")
+    assert list(u1["n_events"]) == [2, 2]

@@ -73,6 +73,33 @@ class TableIO:
             raise NotImplementedError("use overwritePartitions on catalog tables")
         shutil.rmtree(self._part_dir(table, part_col, value), ignore_errors=True)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str,
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Bucketed table write (``bucketBy`` + ``saveAsTable``): two
+        tables bucketed on the same key and count join WITHOUT an
+        exchange — the shuffle happens once at write time and every
+        later co-located join/aggregation reuses it. This is the Spark
+        equivalent of pre-partitioning both sides of the reference's
+        recurring vehicle_id joins instead of re-sharding per run
+        (reference: fixed 10-vehicle shards, dags/reconciliation_worker_
+        dag.py:56-63). Registered in the session catalog; files live
+        under the TableIO root."""
+        writer = (
+            df.write.mode("overwrite")
+            .option("path", self._dir(table))
+            .option("compression", self.compression)
+            .bucketBy(n_buckets, bucket_col)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.format("parquet").saveAsTable(table)
+
     def partition_exists(self, table: str, part_col: str, value) -> bool:
         if self.catalog:
             raise NotImplementedError

@@ -104,3 +104,55 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival per key,
+    with state bounded by the watermark (duplicates arriving later than
+    the watermark horizon are no longer deduplicated — the documented
+    trade of bounded state for bounded-lateness exactness).
+
+    The streaming member of the dedup family (batch exact route:
+    dedup_exact hash-groupBy). ``dropDuplicatesWithinWatermark`` expires
+    key state once the watermark passes, so memory is proportional to
+    the key arrival rate times the horizon, never the stream length.
+    """
+    return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    io,
+    table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_col: str = "ts",
+):
+    """Streaming MERGE sink: each micro-batch upserts into the target via
+    the same merge_upsert used by batch (idempotent per key, so a
+    replayed micro-batch after a crash re-merges to the same state —
+    end-to-end exactly-once for keyed output). A micro-batch can carry
+    the same key several times (MERGE requires unique source keys), so
+    each batch is compacted latest-wins on ``order_col`` first. The
+    streaming analog of the reference's ON DUPLICATE KEY UPDATE
+    writeback (plugins/services/reconciliation_runner.py:285-426)."""
+    from ..sources.merge import latest_wins_dedup, merge_upsert
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        compacted = latest_wins_dedup(batch_df, keys, order_col)
+        merge_upsert(batch_df.sparkSession, io, compacted, table, keys)
+
+    return (
+        stream.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -132,3 +132,40 @@ def test_ivf_assign_broadcasts_centroids(spark):
     plan = _plan(assign_to_centroids(emb, cen))
     assert "Broadcast" in plan, plan
     assert plan.count("CartesianProduct") == 0, plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key/count sort-merge-join with NO
+    exchange: the shuffle was paid once at write time (the Spark
+    equivalent of pre-partitioning the reference's recurring vehicle_id
+    joins instead of re-sharding per run)."""
+    import pandas as pd
+
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [f"k{i % 7}" for i in range(100)], "a": range(100)})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [f"k{i % 7}" for i in range(50)], "b": range(50)})
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    io.write_bucketed(left, "bt_left", "k", 4, sort_cols=["k"])
+    io.write_bucketed(right, "bt_right", "k", 4, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = spark.table("bt_left").join(spark.table("bt_right"), "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # bucketing replaced the shuffle
+        assert joined.count() == sum(
+            (100 // 7 + (1 if i < 100 % 7 else 0)) * (50 // 7 + (1 if i < 50 % 7 else 0))
+            for i in range(7)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")

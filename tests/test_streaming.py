@@ -127,3 +127,65 @@ def test_stateful_conversation_tracker_matches_batch_lag(spark, tmp_path):
     for conv, grp in pdf.groupby("conv_id"):
         assert grp["n_turns"].is_monotonic_increasing
         assert grp["n_violations"].is_monotonic_increasing
+
+
+def test_stream_dedup_within_watermark(spark, transcripts_df, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival per key:
+    a stream that replays every row twice emits each key exactly once."""
+    import pandas as pd
+
+    from dataquality_box_spark.streaming.stream import (
+        dedup_stream,
+        run_stream_to_memory,
+        stream_transcripts,
+    )
+
+    src = str(tmp_path / "dupes")
+    small = transcripts_df.limit(200)
+    small.write.mode("overwrite").parquet(src)
+    small.write.mode("append").parquet(src)  # every row twice
+    stream = stream_transcripts(spark, src)
+    # horizon wider than the corpus time span: nothing is "late", so the
+    # assertion isolates the dedup semantics (with a tight horizon, rows
+    # older than max(ts)-horizon are dropped as late — that state-bound
+    # trade is the operator's contract, not a bug)
+    deduped = dedup_stream(stream, ["conv_id", "turn_idx"], "ts", "365 days")
+    out = run_stream_to_memory(spark, deduped, "dqx_sdedup")
+    # the synthetic corpus itself plants a few duplicate (conv_id,
+    # turn_idx) keys, so the truth is the input's distinct-key count
+    expected = small.select("conv_id", "turn_idx").distinct().count()
+    assert out.count() == expected < 200
+    assert out.select("conv_id", "turn_idx").distinct().count() == expected
+
+
+def test_foreach_batch_upsert_is_idempotent(spark, transcripts_df, tmp_path):
+    """The foreachBatch MERGE sink lands each key once even when the
+    stream delivers overlapping micro-batches; re-running the whole
+    stream (fresh checkpoint) converges to the same table."""
+    from dataquality_box_spark.sources.tableio import TableIO
+    from dataquality_box_spark.streaming.stream import (
+        foreach_batch_upsert,
+        stream_transcripts,
+    )
+
+    src = str(tmp_path / "src")
+    part = transcripts_df.limit(100).select("conv_id", "turn_idx", "text", "role",
+                                            "tool", "ts")
+    part.write.mode("overwrite").parquet(src)
+    part.write.mode("append").parquet(src)  # duplicate file -> 2nd batch
+    io = TableIO(str(tmp_path / "sink"))
+
+    def run(ckpt):
+        stream = stream_transcripts(spark, src)
+        q = foreach_batch_upsert(
+            stream, io, "turns", ["conv_id", "turn_idx"], str(tmp_path / ckpt)
+        ).start()
+        q.awaitTermination()
+
+    expected = part.select("conv_id", "turn_idx").distinct().count()
+    run("ck1")
+    first = io.read(spark, "turns")
+    assert first.count() == expected
+    run("ck2")  # full replay with a fresh checkpoint
+    again = io.read(spark, "turns")
+    assert again.count() == expected

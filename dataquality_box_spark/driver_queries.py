@@ -2344,3 +2344,43 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+# Multi-probe IVF: the query probes its 2 nearest lists (candidates stay
+# in exactly their rank-1 list) — the standard recall lever for queries
+# near Voronoi boundaries; cost linear in nprobe.
+@_q(
+    "ivf_ann_nprobe2",
+    f"""
+    WITH {_ivf_kmeans_sql()},
+    probes AS (
+      SELECT vec_id, centroid_id, rn FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_dotd('v.embedding', 'c.cen_e')} / sqrt({_dotd('c.cen_e', 'c.cen_e')})
+                 DESC, c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN cen{_IVF_ITERS} c) WHERE rn <= 2),
+    lists AS (SELECT vec_id, centroid_id FROM probes WHERE rn = 1),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_DOT_DUCK} / (sqrt({_NORM_DUCK.format(t='q')}) * sqrt({_NORM_DUCK.format(t='c')}))
+               AS cosine
+      FROM embeddings q
+      JOIN probes ql ON ql.vec_id = q.vec_id
+      JOIN lists cl ON cl.centroid_id = ql.centroid_id
+      JOIN embeddings c ON c.vec_id = cl.vec_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+      FROM pairs)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, cand_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import ivf_kmeans_centroids, ivf_topk
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS)
+    return ivf_topk(e, cen, F.col("vec_id") < 5, k=3, nprobe=2)

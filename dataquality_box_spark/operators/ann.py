@@ -35,12 +35,18 @@ def dot_rounded(a, b):
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def assign_to_centroids(
-    emb: DataFrame, cen: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+def assign_ranked(
+    emb: DataFrame,
+    cen: DataFrame,
+    n: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest centroid by cosine (query norm is constant per row, so
-    only the centroid norm matters for the argmax). Ties break by
-    centroid_id. K centroid rows broadcast; the join is narrow."""
+    """Top-n nearest centroids per vector by cosine (query norm is
+    constant per row, so only the centroid norm matters for the
+    ranking). Ties break by centroid_id. K centroid rows broadcast; the
+    join is narrow. n=1 is the coarse-quantizer assignment; n>1 feeds
+    multi-probe search."""
     c = cen.select("centroid_id", F.col("embedding").alias("__cen_e"))
     sim = dot_rounded(F.col(emb_col), F.col("__cen_e")) / F.sqrt(
         dot_rounded(F.col("__cen_e"), F.col("__cen_e"))
@@ -49,10 +55,17 @@ def assign_to_centroids(
     return (
         emb.join(F.broadcast(c))
         .withColumn("__sim", sim)
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(id_col, "centroid_id", emb_col)
+        .withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= n)
+        .select(id_col, "centroid_id", emb_col, "__crank")
     )
+
+
+def assign_to_centroids(
+    emb: DataFrame, cen: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment (rank-1 of assign_ranked)."""
+    return assign_ranked(emb, cen, 1, id_col, emb_col).drop("__crank")
 
 
 def update_centroids(assign: DataFrame, emb_col: str = "embedding") -> DataFrame:
@@ -106,17 +119,26 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Top-k cosine neighbors probing ONLY the query's inverted list.
+    """Top-k cosine neighbors probing the query's ``nprobe`` nearest
+    inverted lists (candidates always live in exactly one list — their
+    rank-1 assignment). nprobe is the standard IVF recall lever: a query
+    near a Voronoi boundary finds neighbors that were quantized into the
+    adjacent cell.
 
     The search join is on centroid_id, so candidate pairs shuffle within
-    lists instead of the full cross join.
+    lists instead of the full cross join; cost scales linearly in nprobe.
     """
-    lists = assign_to_centroids(emb, cen, id_col, emb_col)
+    # the QUERY side probes its nprobe nearest lists; the CANDIDATE side
+    # keeps each vector in exactly its rank-1 list (otherwise candidates
+    # would be duplicated across lists, changing the index itself)
+    probes = assign_ranked(emb, cen, nprobe, id_col, emb_col)
+    lists = probes.filter(F.col("__crank") == 1).drop("__crank")
     # norms are per-VECTOR, so fold them once on each side of the join —
     # folding inside the cosine would redo 2 of the 3 array folds per
     # candidate PAIR (same values either way; only the plan changes)
-    q = lists.filter(query_pred).select(
+    q = probes.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("centroid_id").alias("__qc"),
         F.col(emb_col).alias("__qe"),

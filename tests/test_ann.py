@@ -60,3 +60,30 @@ def test_kmeans_centroids_are_rounded(spark):
     cen = ivf_kmeans_centroids(e, k=2, iters=1).toPandas()
     for emb in cen["embedding"]:
         assert all(abs(v - round(v, 4)) < 1e-12 for v in emb)
+
+
+def test_multi_probe_improves_boundary_recall(spark):
+    """A query vector between the two clusters finds its cross-cluster
+    true neighbors only when it probes both lists (nprobe=2); candidates
+    are never duplicated across lists."""
+    rows = pd.DataFrame(
+        {
+            "vec_id": list(range(10)) + [99],
+            "embedding": [_vec(0, i * 0.01) for i in range(5)]
+            + [_vec(1, i * 0.01) for i in range(5)]
+            # boundary query: equal pull toward both clusters
+            + [[0.01] * DIM],
+        }
+    )
+    e = spark.createDataFrame(rows)
+    cen = ivf_kmeans_centroids(e.filter("vec_id < 10"), k=2, iters=2)
+    pred = F.col("vec_id") == 99
+    top1 = ivf_topk(e, cen, pred, k=10, nprobe=1).toPandas()
+    top2 = ivf_topk(e, cen, pred, k=10, nprobe=2).toPandas()
+    # nprobe=1 sees only one cluster's list; nprobe=2 sees both
+    assert set(top1["cand_id"]).issubset(set(range(5))) or set(
+        top1["cand_id"]
+    ).issubset(set(range(5, 10)))
+    assert len(top2) == 10  # every other vector reachable, no duplicates
+    assert set(top2["cand_id"]) == set(range(10))
+    assert top2["cand_id"].is_unique

@@ -133,3 +133,57 @@ def test_reference_labels_internal_consistency():
         else:
             assert set(row["drop_reasons"]) & dropping
             assert row["scrubbed_text"] is None
+
+
+# --- round 2: toposort + minhash-constant properties (pure Python) ------
+
+_rule_ids = st.lists(
+    st.text(alphabet="ABCDEFGH", min_size=1, max_size=2), min_size=1, max_size=8,
+    unique=True,
+)
+
+
+@given(ids=_rule_ids, data=st.data())
+@settings(max_examples=50, deadline=None)
+def test_toposort_respects_any_forward_dag(ids, data):
+    """Random DAGs (edges only from earlier to later ids in a hidden
+    order): toposort returns every rule exactly once with all
+    dependencies first."""
+    from dataquality_box_spark.operators.rules import Rule, toposort_rules
+
+    deps = {}
+    for i, rid in enumerate(ids):
+        pool = ids[:i]
+        deps[rid] = data.draw(
+            st.lists(st.sampled_from(pool), max_size=len(pool), unique=True)
+        ) if pool else []
+    rules = [
+        Rule.from_dict(
+            {
+                "meta": {"rule_id": rid, "severity": "P2", "depends_on": deps[rid]},
+                "logic": {"type": "filter", "filter_expr": "lit(True)"},
+            }
+        )
+        for rid in reversed(ids)  # feed in reverse to exercise reordering
+    ]
+    ordered = [r.rule_id for r in toposort_rules(rules)]
+    assert sorted(ordered) == sorted(ids)
+    pos = {rid: i for i, rid in enumerate(ordered)}
+    for rid, ds in deps.items():
+        for d in ds:
+            assert pos[d] < pos[rid]
+
+
+@given(k=st.integers(min_value=0, max_value=127), x=st.integers(0, 2**32 - 1))
+@settings(max_examples=200, deadline=None)
+def test_minhash_constants_never_overflow_int64(k, x):
+    """(a_k*x + b_k) stays inside int64 for every 32-bit token hash —
+    the invariant that makes the Spark and DuckDB integer arithmetic
+    bit-identical."""
+    from dataquality_box_spark.operators.dedup import MINHASH_PRIME, perm_consts
+
+    a, b = perm_consts(k)
+    assert a % 2 == 1 and 0 < a < 2**30 and 0 <= b < 2**30
+    v = a * x + b
+    assert v < 2**63
+    assert 0 <= v % MINHASH_PRIME < 2**33

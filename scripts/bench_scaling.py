@@ -110,6 +110,29 @@ def run_levels(corpus: str, runs: int) -> dict[int, dict]:
     return best
 
 
+def _curve_note(best: dict[int, dict]) -> str:
+    """Describe the measured curve shape honestly — derived from the
+    numbers, never asserted (the criterion pair is interleaved best-of-N,
+    but the context-only curve levels run once and can be depressed by
+    concurrent load on the shared host)."""
+    levels = sorted(best)
+    rates = [best[c]["turns_per_sec"] for c in levels]
+    if all(b > a for a, b in zip(rates, rates[1:])):
+        return (
+            "The full curve above is recorded as context and is monotone:\n"
+            "every added thread adds throughput, just less than linearly\n"
+            "once the host's bandwidth ceiling is reached."
+        )
+    peak = levels[rates.index(max(rates))]
+    return (
+        "The full curve above is recorded as context; in THIS run it peaks\n"
+        f"at local[{peak}] — the criterion-pair levels are interleaved\n"
+        "best-of-N, but the higher context levels run once and are exposed\n"
+        "to shared-host steal/concurrent load, so their single samples can\n"
+        "dip below smaller configurations."
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=200000)
@@ -187,11 +210,9 @@ def main() -> None:
             "(write bw measured 4/17/31/50/36 GB/s at 1/4/8/16/32 threads) and\n"
             "neighbor CPU-steal bursts (up to ~17%) cap per-thread compute — that\n"
             "measures the host, not the engine. A real 4N-executor cluster adds a\n"
-            "memory bus per executor, which local mode cannot emulate. The full\n"
-            "curve above is recorded as context and is MONOTONE: every added\n"
-            "thread still adds throughput (local[32] is the fastest absolute\n"
-            "configuration), it just adds less than linearly once the host's\n"
-            "bandwidth ceiling is reached.\n\n"
+            "memory bus per executor, which local mode cannot emulate.\n\n"
+            + _curve_note(best)
+            + "\n\n"
             f"Measured {report['measured_at']} on the 32-vCPU sandbox host.\n"
         )
 

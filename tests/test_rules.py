@@ -17,11 +17,37 @@ from dataquality_box_spark.operators.rules import (
 
 def test_load_rules_dir():
     rules = load_rules("rules")
-    assert {r.rule_id for r in rules} == {
+    ids = [r.rule_id for r in rules]
+    assert set(ids) == {
         "R01_too_short", "R02_role_enum", "R03_empty_assistant",
         "R04_tool_without_name", "R09_conv_volume", "R16_symbol_ratio",
-        "R18_ts_range", "RC02_missing_convs", "RC03_turn_count_cross_check",
+        "R18_ts_range", "R20_toxicity_alert", "R21_gold_assets",
+        "R22_short_violations", "RC02_missing_convs",
+        "RC03_turn_count_cross_check",
     }
+    # depends_on toposort: the P1 asset rule precedes its P2 dependent
+    assert ids.index("R21_gold_assets") < ids.index("R22_short_violations")
+
+
+def test_yaml_rules_drive_governance(spark, transcripts_df, tmp_path):
+    """The alert/asset/exemption blocks loaded from YAML run the full
+    emission stage end-to-end (rules -> routed alerts + assets)."""
+    from dataquality_box_spark.operators.alerts import emit_from_results
+
+    wanted = {"R20_toxicity_alert", "R21_gold_assets", "R22_short_violations"}
+    rules = [r for r in load_rules("rules") if r.rule_id in wanted]
+    results = run_rules(rules, transcripts_df)
+    alerts, assets = emit_from_results(rules, results)
+    a = alerts.toPandas().set_index("rule_id")
+    assert a.loc["R20_toxicity_alert", "severity"] == "P0"
+    assert a.loc["R20_toxicity_alert", "hit_count"] > 0
+    assert a.loc["R22_short_violations", "severity"] == "P2"
+    asset_pdf = assets.toPandas()
+    assert (asset_pdf["asset_type"] == "TOOL_DEMO").all()
+    assert asset_pdf["target_path"].str.startswith("corner_case/batch0/R21_gold_assets/").all()
+    # exemption: no P2 trigger conv appears in the asset whitelist
+    p2_trigger = set(a.loc["R22_short_violations", "trigger_ids"].split(","))
+    assert not (p2_trigger & set(asset_pdf["asset_id"]))
 
 
 def test_parse_expr_sandbox_blocks_dunder():

@@ -1676,20 +1676,50 @@ def transcript_conv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Weak (rows-only) queries: approximate + streaming operators whose outputs
 # are not ANSI-SQL-reproducible by construction.
 
-@_q("approx_stats", None)
+@_q(
+    "approx_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS acd_ok,
+           CAST(1 AS BIGINT) AS p50_ok,
+           CAST(1 AS BIGINT) AS p90_ok,
+           CAST(1 AS BIGINT) AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct + percentile_approx (the at-scale variants of
-    A4/A5 — sketch-based, so no exact DuckDB twin). Quantiles are emitted
-    as three scalar DOUBLE columns so the driver's rows-only
-    canonicalization can sort the frame (arrays are unhashable in pandas)."""
+    A4/A5). Sketch outputs have no bit-exact DuckDB twin, so the oracle
+    contract is a tolerance check computed ON THE SPARK SIDE: each *_ok
+    flag is 1 iff the sketch estimate is within its error envelope of the
+    exact answer (HLL++ rsd=0.05 -> 2-sigma 10%; GK accuracy=10000 ->
+    <=1% value drift on this distribution). DuckDB emits the exact values
+    with literal-true flags — a sketch drifting out of tolerance flips a
+    flag and fails the hash compare, so the sketches ARE verified."""
     li = _tbl(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
-    return li.groupBy("l_returnflag").agg(
+    eq = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        q.getItem(0).alias("price_p50"),
-        q.getItem(1).alias("price_p90"),
-        q.getItem(2).alias("price_p99"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        q.alias("qa"),
+        eq.alias("qe"),
         F.count("*").alias("n"),
+    )
+
+    def within(a, e, rel):
+        return (F.abs(a - e) <= rel * F.abs(e)).cast("long")
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        within(F.col("approx_parts"), F.col("exact_parts"), 0.10).alias("acd_ok"),
+        within(F.col("qa")[0], F.col("qe")[0], 0.01).alias("p50_ok"),
+        within(F.col("qa")[1], F.col("qe")[1], 0.01).alias("p90_ok"),
+        within(F.col("qa")[2], F.col("qe")[2], 0.01).alias("p99_ok"),
     )
 
 
@@ -2384,3 +2414,43 @@ def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _tbl(spark, sf_dir, "embeddings")
     cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS)
     return ivf_topk(e, cen, F.col("vec_id") < 5, k=3, nprobe=2)
+
+
+# Binary media-column plumbing, oracle-checked: a deterministic BLOB
+# payload derived from documents (unhex of md5s) exercised through
+# byte-length, distinct-binary and hex/hash handling in both engines —
+# the SQL-expressible slice of the multimodal family
+# (operators/multimodal.py holds the mapInPandas decode plumbing).
+@_q(
+    "media_payload_stats",
+    """
+    SELECT CAST(doc_id % 3 AS BIGINT) AS kind_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT payload) AS BIGINT) AS distinct_payloads,
+           MIN(md5(hex(payload))) AS min_payload_md5
+    FROM (SELECT doc_id, from_hex(md5(text) || md5(text || '#2')) AS payload
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tbl(spark, sf_dir, "documents")
+    payload = F.unhex(
+        F.concat(
+            F.md5(F.col("text").cast("binary")),
+            F.md5(F.concat(F.col("text"), F.lit("#2")).cast("binary")),
+        )
+    )
+    return (
+        d.select((F.col("doc_id") % 3).alias("kind_id"), payload.alias("payload"))
+        .groupBy("kind_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.countDistinct("payload").alias("distinct_payloads"),
+            F.min(F.md5(F.hex(F.col("payload")).cast("binary"))).alias(
+                "min_payload_md5"
+            ),
+        )
+    )

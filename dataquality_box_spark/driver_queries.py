@@ -2454,3 +2454,96 @@ def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation family (operators/curation.py): decontamination,
+# deterministic stratified sampling, sequence packing. No reference
+# counterpart (its scope ends at validation); these are the brief's
+# corpus-preparation extensions.
+@_q(
+    "decontam_benchmark_overlap",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, tok
+           FROM (SELECT doc_id, unnest({_SHINGLES}) AS tok FROM tt) u),
+    bench AS (SELECT DISTINCT tok FROM sh WHERE doc_id % 50 = 0)
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+           MIN(c.tok) AS sample_shingle
+    FROM sh c JOIN bench b USING (tok)
+    WHERE c.doc_id % 50 <> 0
+    GROUP BY c.doc_id
+    """,
+)
+def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap decontamination: docs sharing any 3-token
+    shingle with the (deterministic doc_id%50==0) benchmark slice. The
+    benchmark shingle set broadcasts; the corpus side is map-only."""
+    from .operators.curation import decontaminate
+    from .operators.dedup import shingle_sets
+
+    sh = shingle_sets(_tbl(spark, sf_dir, "documents"), n=3)
+    bench = sh.where(F.col("doc_id") % 50 == 0)
+    corpus = sh.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench)
+
+
+_SAMPLE_BUCKET = "CAST('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+@_q(
+    "stratified_hash_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SAMPLE_BUCKET} < CAST(
+        CASE WHEN lang = 'en' THEN 0.2 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END
+        * 4294967296.0 AS BIGINT)
+    """,
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-gated sampling with per-language rates
+    (downsample the head language, keep the tail) — stable across
+    reruns/engines, no RNG state, pure map-side filter."""
+    from .operators.curation import hash_sample
+
+    d = _tbl(spark, sf_dir, "documents")
+    return hash_sample(
+        d,
+        "doc_id",
+        rate=0.5,
+        salt="s0",
+        strata_rates={"en": 0.2, "de": 0.8},
+        strata_col="lang",
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "pack_token_bins",
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKENS}) AS n_tokens, doc_id % 8 AS shard
+               FROM documents),
+    c AS (SELECT shard, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+          FROM t)
+    SELECT shard, CAST(FLOOR(cb / 512) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY shard, bin_id
+    """,
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing into 512-token bins per
+    doc_id%8 shard (window cumsum; one shuffle on the shard key). The
+    exact next-fit variant (hard budget cap) is pack_bins_nextfit,
+    pytest-verified — the recurrence is not SQL-expressible."""
+    from .functions.text import tokens
+    from .operators.curation import pack_bins_contiguous
+
+    d = _tbl(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return pack_bins_contiguous(
+        t, F.col("doc_id") % 8, "doc_id", "n_tokens", budget=512
+    )

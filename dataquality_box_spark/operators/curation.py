@@ -1,0 +1,154 @@
+"""Training-data curation operators: decontamination, deterministic
+sampling, sequence packing.
+
+These extend the reference inventory with the corpus-preparation steps a
+training-data pipeline runs after quality filtering (the brief's
+first-class extension family). The reference has no counterpart (its
+scope ends at validation/reconciliation); scale posture is stated per
+operator.
+
+* Decontamination: benchmark/eval-set n-gram overlap. The benchmark side
+  is small by nature (MBs of eval suites vs a 100 TB corpus), so its
+  distinct shingle set is BROADCAST and the corpus side is a map-side
+  semi/inner join — no corpus shuffle at all. This is the canonical
+  at-scale shape (the corpus is only ever streamed through once).
+* Deterministic sampling: md5-hash gating, so the sample is stable across
+  reruns/resumes and engines (no RNG state, no sort). Per-stratum rates
+  compose as a CASE expression — still a narrow map-side filter.
+* Sequence packing: contiguous token-budget binning per shard via a
+  window cumulative sum (one shuffle on the shard key; bins never cross
+  shards, so shards parallelize freely). The exact next-fit variant
+  (bins guaranteed <= budget) is a sequential recurrence, implemented in
+  pack_bins_nextfit via applyInPandas per shard — Arrow-batched, ordered
+  within shard, used when hard budget caps matter (attention masking).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(2**32)
+
+
+def decontaminate(
+    corpus_shingles: DataFrame,
+    benchmark_shingles: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-corpus-doc count of distinct shingles shared with the
+    benchmark set, plus one matched shingle as evidence. Inputs are
+    (id, tok) frames (build with dedup.shingle_sets). The benchmark
+    shingle set is broadcast — corpus-side work is map-only."""
+    bench = F.broadcast(benchmark_shingles.select("tok").distinct())
+    return (
+        corpus_shingles.join(bench, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.min("tok").alias("sample_shingle"),
+        )
+    )
+
+
+def _hash_bucket(id_col, salt: str):
+    """Deterministic uniform 32-bit bucket from md5(salt || id) — the
+    same expression DuckDB spells CAST('0x' || substr(md5(..),1,8) AS
+    BIGINT), so oracle twins agree exactly."""
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: str = "s0",
+    strata_rates: Mapping[str, float] | None = None,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic (resume-stable) sample: keep a row iff its hash
+    bucket falls under rate * 2^32. With strata_rates, the rate is
+    per-stratum (CASE over strata_col) with `rate` as the default —
+    e.g. downsample the head language hard, keep the tail."""
+    bucket = _hash_bucket(F.col(id_col), salt)
+    if strata_rates:
+        r = F.lit(float(rate))
+        for value, sr in sorted(strata_rates.items()):
+            r = F.when(F.col(strata_col) == value, F.lit(float(sr))).otherwise(r)
+    else:
+        r = F.lit(float(rate))
+    return df.where(bucket < (r * F.lit(HASH_SPACE)).cast("long"))
+
+
+def pack_bins_contiguous(
+    df: DataFrame,
+    shard_col,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Contiguous-fill packing: within each shard, order docs and assign
+    bin_id = floor(cumsum_before / budget). One window shuffle on the
+    shard key; bins may overflow the budget by at most one document
+    (the streaming-friendly approximation — no recurrence, pure SQL,
+    identical in any engine). Returns per-bin rollups."""
+    w = Window.partitionBy("shard").orderBy(order_col)
+    cum_before = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return (
+        df.withColumn("shard", shard_col)
+        .withColumn("bin_id", F.floor(cum_before / F.lit(budget)))
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("total_tokens"),
+            F.min(order_col).alias("first_doc"),
+            F.max(order_col).alias("last_doc"),
+        )
+    )
+
+
+def pack_bins_nextfit(
+    df: DataFrame,
+    shard_col,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Exact next-fit packing: close the bin when the next doc would
+    exceed the budget (a bin holds one oversized doc alone). The
+    recurrence is per-shard sequential, so it runs as applyInPandas —
+    one Arrow batch per shard, shards in parallel. Output schema matches
+    pack_bins_contiguous for drop-in comparison."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        bins, filled, cur = [], 0, 0
+        for t in pdf[tokens_col].to_numpy():
+            if filled and filled + int(t) > budget:
+                cur += 1
+                filled = 0
+            filled += int(t)
+            bins.append(cur)
+        pdf = pdf.assign(bin_id=bins)
+        g = pdf.groupby("bin_id", sort=True)
+        out = g.agg(
+            n_docs=(order_col, "size"),
+            total_tokens=(tokens_col, "sum"),
+            first_doc=(order_col, "min"),
+            last_doc=(order_col, "max"),
+        ).reset_index()
+        out.insert(0, "shard", pdf["shard"].iloc[0])
+        return out
+
+    staged = df.withColumn("shard", shard_col)
+    order_t = dict(staged.dtypes)[order_col]
+    shard_t = dict(staged.dtypes)["shard"]
+    schema = (
+        f"shard {shard_t}, bin_id long, n_docs long, total_tokens long, "
+        f"first_doc {order_t}, last_doc {order_t}"
+    )
+    return staged.groupBy("shard").applyInPandas(pack, schema=schema)

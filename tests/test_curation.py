@@ -1,0 +1,89 @@
+"""Curation operators: decontamination, hash sampling, sequence packing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataquality_box_spark.operators.curation import (
+    decontaminate,
+    hash_sample,
+    pack_bins_contiguous,
+    pack_bins_nextfit,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en"),
+        (1, "alpha beta gamma zeta eta", "en"),  # shares "alpha beta gamma"
+        (2, "one two three four five six", "de"),
+        (3, "totally different words here now", "fr"),
+        (4, "four five six seven eight", "de"),  # shares "four five six"
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_flags_shared_shingles(spark, docs):
+    from dataquality_box_spark.operators.dedup import shingle_sets
+
+    sh = shingle_sets(docs, n=3)
+    bench = sh.where(F.col("doc_id").isin([0, 2]))
+    corpus = sh.where(~F.col("doc_id").isin([0, 2]))
+    hits = {r["doc_id"]: r["n_contaminated"] for r in decontaminate(corpus, bench).collect()}
+    assert hits == {1: 1, 4: 1}  # doc 3 shares nothing
+
+
+def test_hash_sample_deterministic_and_stratified(spark, docs):
+    s1 = hash_sample(docs, "doc_id", rate=0.5, salt="s0").collect()
+    s2 = hash_sample(docs, "doc_id", rate=0.5, salt="s0").collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+    # rate 0 / 1 bound the gate exactly
+    assert hash_sample(docs, "doc_id", rate=0.0).count() == 0
+    assert hash_sample(docs, "doc_id", rate=1.0).count() == docs.count()
+    # a stratum with rate 0 is fully excluded regardless of the default
+    s = hash_sample(
+        docs, "doc_id", rate=1.0, strata_rates={"en": 0.0}, strata_col="lang"
+    ).collect()
+    assert all(r["lang"] != "en" for r in s) and len(s) == 3
+
+
+def test_pack_nextfit_respects_budget(spark):
+    rows = [(i, i % 4, 10 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, shard_in long, n_tokens long")
+    out = pack_bins_nextfit(df, F.col("shard_in"), "doc_id", "n_tokens", budget=128)
+    pdf = out.toPandas()
+    # hard cap: every bin fits the budget (no single doc exceeds 128 here)
+    assert (pdf["total_tokens"] <= 128).all()
+    assert pdf["n_docs"].sum() == 200
+    # bins are contiguous runs: first/last doc ranges never interleave
+    for _, g in pdf.groupby("shard"):
+        g = g.sort_values("bin_id")
+        assert (g["first_doc"].to_numpy()[1:] > g["last_doc"].to_numpy()[:-1]).all()
+
+
+def test_pack_nextfit_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 50), (1, 0, 500), (2, 0, 50)], "doc_id long, s long, n_tokens long"
+    )
+    pdf = (
+        pack_bins_nextfit(df, F.col("s"), "doc_id", "n_tokens", budget=128)
+        .toPandas()
+        .sort_values("bin_id")
+    )
+    assert pdf["n_docs"].tolist() == [1, 1, 1]
+    assert pdf["total_tokens"].tolist() == [50, 500, 50]
+
+
+def test_pack_contiguous_conserves_docs_and_tokens(spark):
+    rows = [(i, 10 + (i * 13) % 70) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_bins_contiguous(
+        df, F.col("doc_id") % 8, "doc_id", "n_tokens", budget=256
+    ).toPandas()
+    assert out["n_docs"].sum() == 300
+    assert out["total_tokens"].sum() == sum(t for _, t in rows)
+    # overflow bound: a bin exceeds budget by strictly less than one doc
+    max_doc = max(t for _, t in rows)
+    assert (out["total_tokens"] < 256 + max_doc).all()

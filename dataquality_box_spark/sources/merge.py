@@ -17,6 +17,22 @@ from pyspark.sql import functions as F
 from .tableio import TableIO
 
 
+def _atomic_overwrite(df: DataFrame, io: TableIO, table: str) -> None:
+    """Rewrite a table via staging dir + swap: the overwrite must not read
+    from the directory it is replacing. The staging dir lives under
+    io.root — the SAME filesystem as the target by construction — so the
+    os.replace below is the atomic same-fs rename it requires (an
+    Iceberg catalog replaces this whole dance with a snapshot commit)."""
+    import os
+    import shutil
+
+    target_dir = f"{io.root}/{table}"
+    staging = f"{io.root}/__staging__{table}"
+    df.write.mode("overwrite").option("compression", io.compression).parquet(staging)
+    shutil.rmtree(target_dir, ignore_errors=True)
+    os.replace(staging, target_dir)
+
+
 def merge_upsert(
     spark: SparkSession,
     io: TableIO,
@@ -40,17 +56,7 @@ def merge_upsert(
         merged = surviving.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
-    # write to a staging dir then swap: the overwrite itself must not read
-    # from the directory it is replacing. The staging dir lives under
-    # io.root — the SAME filesystem as the target by construction — so the
-    # os.replace below is the atomic same-fs rename it requires (an
-    # Iceberg catalog replaces this whole dance with a snapshot commit).
-    staging = f"{io.root}/__staging__{table}"
-    merged.write.mode("overwrite").option("compression", io.compression).parquet(staging)
-    import shutil
-
-    shutil.rmtree(target_dir, ignore_errors=True)
-    os.replace(staging, target_dir)
+    _atomic_overwrite(merged, io, table)
 
 
 def insert_missing(

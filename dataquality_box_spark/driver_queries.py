@@ -2547,3 +2547,68 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins_contiguous(
         t, F.col("doc_id") % 8, "doc_id", "n_tokens", budget=512
     )
+
+
+# Cross-table time consistency with the reference's year-alignment rule
+# (consistency.py:6-58): the "right" table is a deterministic derivation
+# of orders with a scrambled year (1990 + k%7) and a +/-5-minute drift —
+# the year scramble must become invisible after alignment, leaving only
+# the minute drift. Day-of-month is restricted to [2, 27] so the drift
+# never crosses a month boundary (where a Feb-29 rebuild is
+# engine-divergent: Spark NULL vs DuckDB error — the operator's NULL
+# path is pytest-covered instead).
+@_q(
+    "time_consistency_violations",
+    """
+    WITH l AS (SELECT o_orderkey, o_orderdate FROM orders
+               WHERE day(o_orderdate) BETWEEN 2 AND 27),
+    r AS (SELECT o_orderkey AS rk,
+                 make_timestamp(CAST(1990 + o_orderkey % 7 AS BIGINT),
+                                CAST(month(o_orderdate) AS BIGINT),
+                                CAST(day(o_orderdate) AS BIGINT),
+                                CAST(hour(o_orderdate) AS BIGINT),
+                                CAST(minute(o_orderdate) AS BIGINT),
+                                CAST(second(o_orderdate) AS DOUBLE))
+                 + (o_orderkey % 11 - 5) * INTERVAL 1 MINUTE AS remote_ts
+          FROM orders WHERE day(o_orderdate) BETWEEN 2 AND 27),
+    j AS (SELECT l.o_orderkey, l.o_orderdate, r.remote_ts,
+                 make_timestamp(CAST(year(l.o_orderdate) AS BIGINT),
+                                CAST(month(r.remote_ts) AS BIGINT),
+                                CAST(day(r.remote_ts) AS BIGINT),
+                                CAST(hour(r.remote_ts) AS BIGINT),
+                                CAST(minute(r.remote_ts) AS BIGINT),
+                                CAST(second(r.remote_ts) AS DOUBLE)) AS aligned
+          FROM l JOIN r ON r.rk = l.o_orderkey)
+    SELECT o_orderkey,
+           CAST(ABS(epoch(o_orderdate) - epoch(aligned)) AS BIGINT) AS time_diff_sec
+    FROM j
+    WHERE ABS(epoch(o_orderdate) - epoch(aligned)) > 180
+    """,
+)
+def time_consistency_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recon import time_consistency_check
+
+    o = _tbl(spark, sf_dir, "orders").where(
+        F.dayofmonth("o_orderdate").between(2, 27)
+    )
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate")
+    remote = o.select(
+        k.alias("rk"),
+        (
+            F.make_timestamp(
+                (F.lit(1990) + k % 7).cast("long"),
+                F.month(d).cast("long"),
+                F.dayofmonth(d).cast("long"),
+                F.hour(d).cast("long"),
+                F.minute(d).cast("long"),
+                F.second(d).cast("double"),
+            )
+            + F.expr("make_interval(0, 0, 0, 0, 0, o_orderkey % 11 - 5, 0)")
+        ).alias("remote_ts"),
+    )
+    joined = o.select("o_orderkey", "o_orderdate").join(
+        remote, o["o_orderkey"] == remote["rk"]
+    )
+    checked = time_consistency_check(joined, "o_orderdate", "remote_ts", 180)
+    return checked.where("is_violation").select("o_orderkey", "time_diff_sec")

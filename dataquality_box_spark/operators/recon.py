@@ -156,3 +156,69 @@ def two_tier_match(
         *left.columns, F.lit(None).cast(rid_type).alias(right_id)
     ).withColumn("matched_status", F.lit(3))
     return out1.unionByName(out4).unionByName(out3)
+
+
+def time_consistency_check(
+    joined: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    threshold_sec: int = 300,
+) -> DataFrame:
+    """Cross-table timestamp-consistency check with the reference's
+    year-alignment business rule (reference: plugins/dq_lib/
+    consistency.py:6-58): the right-side year is known-unreliable, so the
+    right timestamp is rebuilt with the LEFT row's year before diffing.
+    Takes an already-joined frame (join on whatever key applies), adds:
+
+    * ``aligned_ts``  — right ts with the left year substituted
+    * ``time_diff_sec`` — abs seconds between left ts and aligned ts
+    * ``is_violation`` — diff > threshold, or the rebuild was invalid
+      (e.g. right lands on Feb 29 and the left year is non-leap: the
+      reference's Polars ``dt.replace`` panics there; rebuilding via
+      make_timestamp yields NULL, which we count as a violation instead
+      of killing the job)
+
+    Narrow/map-side after the caller's join; the default threshold is
+    the reference's 300 s (THRESHOLD_TIME_DIFF, plugins/services/
+    config.py:26).
+    """
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    aligned = F.make_timestamp(
+        F.year(lt),
+        F.month(rt),
+        F.dayofmonth(rt),
+        F.hour(rt),
+        F.minute(rt),
+        F.second(rt).cast("double"),
+    )
+    diff = F.abs(F.unix_timestamp(lt) - F.unix_timestamp(aligned))
+    return joined.withColumn("aligned_ts", aligned).withColumn(
+        "time_diff_sec", diff
+    ).withColumn(
+        "is_violation",
+        F.when(F.col("aligned_ts").isNull(), F.lit(True)).otherwise(
+            diff > F.lit(threshold_sec)
+        ),
+    )
+
+
+def consistency_summary(
+    checked: DataFrame, key_col: str, sample_cap: int = 10
+) -> DataFrame:
+    """One-row rollup in the reference's result shape (consistency.py:
+    46-58): total matched, failed count, passed flag, and a CAPPED,
+    deterministically-ordered sample of violating keys (the reference's
+    head(10) is arbitrary-order; sorting first makes replays and oracle
+    twins stable)."""
+    return checked.agg(
+        F.count("*").alias("total_matched"),
+        F.sum(F.col("is_violation").cast("long")).alias("failed"),
+        (F.sum(F.col("is_violation").cast("long")) == 0).alias("passed"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.when(F.col("is_violation"), F.col(key_col)))
+            ),
+            1,
+            sample_cap,
+        ).alias("failed_samples"),
+    )

@@ -208,3 +208,32 @@ def test_sessionize_gaps_and_islands(spark):
     b = session_bounds(s, "user", "ts").toPandas()
     u1 = b[b.user == "u1"].sort_values("session_no")
     assert list(u1["n_events"]) == [2, 2]
+
+
+def test_time_consistency_year_alignment_and_feb29(spark):
+    from datetime import datetime
+
+    from dataquality_box_spark.operators.recon import (
+        consistency_summary,
+        time_consistency_check,
+    )
+
+    rows = [
+        # same instant, scrambled year -> aligned, no violation
+        (1, datetime(2026, 5, 10, 12, 0, 0), datetime(2019, 5, 10, 12, 0, 0)),
+        # 10-minute real drift survives alignment -> violation
+        (2, datetime(2026, 5, 10, 12, 0, 0), datetime(2019, 5, 10, 12, 10, 0)),
+        # right on Feb 29, left year non-leap: rebuild is invalid ->
+        # NULL aligned_ts counted as a violation (reference Polars panics)
+        (3, datetime(2025, 3, 1, 0, 0, 0), datetime(2024, 2, 29, 23, 58, 0)),
+    ]
+    df = spark.createDataFrame(rows, "k long, lts timestamp, rts timestamp")
+    out = time_consistency_check(df, "lts", "rts", threshold_sec=300)
+    got = {r["k"]: (r["is_violation"], r["time_diff_sec"]) for r in out.collect()}
+    assert got[1] == (False, 0)
+    assert got[2] == (True, 600)
+    assert got[3][0] is True and got[3][1] is None
+
+    s = consistency_summary(out, "k").collect()[0]
+    assert (s["total_matched"], s["failed"], s["passed"]) == (3, 2, False)
+    assert s["failed_samples"] == [2, 3]

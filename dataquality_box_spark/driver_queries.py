@@ -2612,3 +2612,38 @@ def time_consistency_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     checked = time_consistency_check(joined, "o_orderdate", "remote_ts", 180)
     return checked.where("is_violation").select("o_orderkey", "time_diff_sec")
+
+
+# Incremental-scan planning (plans/incremental.py): watermark 20h behind
+# the observed max, catch-up clamped to 8h, affected keys exclude
+# settled statuses (event_id % 5 stands in for sync_status). The planner
+# scalars are driver-side by design (two values); the key scan is the
+# distributed part.
+@_q(
+    "incremental_affected_keys",
+    """
+    WITH s AS (SELECT MAX(ts) AS mx FROM events),
+    w AS (SELECT mx - INTERVAL 20 HOUR AS ws,
+                 mx - INTERVAL 20 HOUR + INTERVAL 8 HOUR AS we FROM s)
+    SELECT DISTINCT user_id FROM events, w
+    WHERE ts > w.ws AND ts <= w.we
+      AND (event_id % 5) NOT IN (1, 3, 4)
+    """,
+)
+def incremental_affected_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta
+
+    from .plans.incremental import affected_keys, plan_scan_window
+
+    ev = _tbl(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    win = plan_scan_window(mx - timedelta(hours=20), mx, batch_limit_hours=8)
+    assert win.action == "process" and win.clamped
+    return affected_keys(
+        ev.withColumn("sync_status", F.col("event_id") % 5),
+        "user_id",
+        "ts",
+        win,
+        status_col="sync_status",
+        settled=(1, 3, 4),
+    )

@@ -2647,3 +2647,58 @@ def incremental_affected_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         status_col="sync_status",
         settled=(1, 3, 4),
     )
+
+
+# Declarative raw->entity adapter (operators/adapter.py): joins +
+# sandboxed field mapping through the reference's config shape
+# (adapter.py:30-233), exercised end-to-end against a plain-SQL twin.
+@_q(
+    "adapter_entity_mapping",
+    """
+    SELECT o.o_orderkey AS order_id,
+           o.o_custkey AS customer_id,
+           c.c_mktsegment AS segment,
+           CAST(o.o_totalprice * 1.1 AS DOUBLE) AS gross_price,
+           o.o_orderpriority = '1-URGENT' AS is_urgent,
+           upper(c.c_name) AS customer_name
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def adapter_entity_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.adapter import adapt_entity
+
+    config = {
+        "target_entity": "OrderEntity",
+        "output_key": "entity_orders",
+        "input_schema": {
+            "primary_source": "raw_orders",
+            "joins": [
+                {
+                    "join_source": "raw_customer",
+                    "type": "left",
+                    "left_on": "o_custkey",
+                    "right_on": "c_custkey",
+                    "suffix": "_c",
+                }
+            ],
+        },
+        "fields": [
+            {"target": "order_id", "source_expr": "col('o_orderkey')"},
+            {"target": "customer_id", "source_expr": "col('o_custkey')"},
+            {"target": "segment", "source_expr": "col('c_mktsegment')"},
+            {
+                "target": "gross_price",
+                "source_expr": "(col('o_totalprice') * lit(1.1)).cast('double')",
+            },
+            {
+                "target": "is_urgent",
+                "source_expr": "col('o_orderpriority') == lit('1-URGENT')",
+            },
+            {"target": "customer_name", "source_expr": "upper(col('c_name'))"},
+        ],
+    }
+    sources = {
+        "raw_orders": _tbl(spark, sf_dir, "orders"),
+        "raw_customer": _tbl(spark, sf_dir, "customer"),
+    }
+    return adapt_entity(config, sources)

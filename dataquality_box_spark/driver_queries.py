@@ -2702,3 +2702,104 @@ def adapter_entity_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_customer": _tbl(spark, sf_dir, "customer"),
     }
     return adapt_entity(config, sources)
+
+
+# Post-reconciliation quality report (operators/recon_metrics.py,
+# reference metrics.py:13-160). The matched frame is derived
+# deterministically from lineitem: per order, the odd/even line halves
+# contribute the two value sets, l_orderkey % 900 is the time diff and
+# l_orderkey % 5 the matched_status.
+_RECON_CLASSIFIED_SQL = """
+    WITH g AS (
+      SELECT l_orderkey,
+             coalesce(list(DISTINCT l_returnflag) FILTER (l_linenumber % 2 = 1), []) AS set_a,
+             coalesce(list(DISTINCT l_returnflag) FILTER (l_linenumber % 2 = 0), []) AS set_b
+      FROM lineitem GROUP BY l_orderkey),
+    m AS (SELECT l_orderkey,
+                 CAST(l_orderkey % 900 AS DOUBLE) AS time_diff_sec,
+                 CAST(l_orderkey % 5 AS INT) AS matched_status,
+                 CASE WHEN len(set_a) = 0 THEN 'NULL_LEFT'
+                      WHEN len(set_b) = 0 THEN 'NULL_RIGHT'
+                      WHEN len(list_intersect(set_a, set_b)) > 0 THEN 'MATCH'
+                      ELSE 'MISMATCH' END AS set_status
+          FROM g),
+    c AS (SELECT *,
+                 set_status = 'MATCH' AND time_diff_sec <= 300 AS is_perfect
+          FROM m)
+"""
+
+
+def _recon_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recon_metrics import classify
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.collect_set(
+            F.when(F.col("l_linenumber") % 2 == 1, F.col("l_returnflag"))
+        ).alias("set_a"),
+        F.collect_set(
+            F.when(F.col("l_linenumber") % 2 == 0, F.col("l_returnflag"))
+        ).alias("set_b"),
+    )
+    m = g.select(
+        "l_orderkey",
+        "set_a",
+        "set_b",
+        (F.col("l_orderkey") % 900).cast("double").alias("time_diff_sec"),
+        (F.col("l_orderkey") % 5).cast("int").alias("matched_status"),
+    )
+    return classify(m, "set_a", "set_b", "time_diff_sec")
+
+
+@_q(
+    "recon_error_details",
+    _RECON_CLASSIFIED_SQL
+    + """
+    SELECT l_orderkey,
+           concat_ws(', ',
+             CASE WHEN set_status <> 'MATCH' THEN 'Cntr ' || set_status END,
+             CASE WHEN time_diff_sec > 300
+                  THEN 'TimeDiff ' || CAST(CAST(time_diff_sec AS BIGINT) AS VARCHAR) || 's' END
+           ) AS issue,
+           time_diff_sec
+    FROM c WHERE NOT is_perfect AND matched_status <> 2
+    ORDER BY time_diff_sec DESC, l_orderkey
+    LIMIT 20
+    """,
+)
+def recon_error_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recon_metrics import error_details
+
+    c = _recon_classified(spark, sf_dir)
+    return error_details(c, "l_orderkey", "time_diff_sec", "matched_status")
+
+
+@_q(
+    "recon_quality_summary",
+    _RECON_CLASSIFIED_SQL
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_count,
+           CAST(SUM(CAST(is_perfect AS BIGINT)) AS BIGINT) AS perfect_count,
+           ROUND(AVG(CASE WHEN matched_status IN (1, 4) THEN time_diff_sec END), 2)
+             AS avg_time_diff_sec
+    FROM c
+    """,
+)
+def recon_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recon_metrics import quality_summary
+
+    c = _recon_classified(spark, sf_dir)
+    return quality_summary(c, "time_diff_sec", "matched_status")
+
+
+@_q(
+    "recon_status_distribution",
+    _RECON_CLASSIFIED_SQL
+    + """
+    SELECT set_status, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY set_status
+    """,
+)
+def recon_status_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recon_metrics import status_distribution
+
+    return status_distribution(_recon_classified(spark, sf_dir))

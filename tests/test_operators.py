@@ -237,3 +237,42 @@ def test_time_consistency_year_alignment_and_feb29(spark):
     s = consistency_summary(out, "k").collect()[0]
     assert (s["total_matched"], s["failed"], s["passed"]) == (3, 2, False)
     assert s["failed_samples"] == [2, 3]
+
+
+def test_recon_metrics_classification_and_errors(spark):
+    from dataquality_box_spark.operators.recon_metrics import (
+        classify,
+        error_details,
+        quality_summary,
+    )
+
+    rows = [
+        # id, set_a, set_b, diff, matched_status
+        (1, [], ["x"], 10.0, 1),  # NULL_LEFT (empty beats all)
+        (2, ["x"], [], 10.0, 1),  # NULL_RIGHT
+        (3, ["x", "y"], ["y"], 100.0, 1),  # MATCH + diff<=300 -> perfect
+        (4, ["x"], ["y"], 50.0, 4),  # MISMATCH
+        (5, ["x"], ["x"], 400.0, 4),  # MATCH but diff>300 -> not perfect
+        (6, ["x"], ["y"], 999.0, 2),  # target-only: excluded from errors
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, set_a array<string>, set_b array<string>, "
+        "time_diff_sec double, matched_status int"
+    )
+    c = classify(df, "set_a", "set_b", "time_diff_sec")
+    got = {r["id"]: (r["set_status"], r["is_perfect"]) for r in c.collect()}
+    assert got == {
+        1: ("NULL_LEFT", False),
+        2: ("NULL_RIGHT", False),
+        3: ("MATCH", True),
+        4: ("MISMATCH", False),
+        5: ("MATCH", False),
+        6: ("MISMATCH", False),
+    }
+    errs = error_details(c, "id", "time_diff_sec", "matched_status").collect()
+    assert [r["id"] for r in errs] == [5, 4, 1, 2]  # diff desc, id tiebreak
+    assert errs[0]["issue"] == "TimeDiff 400s"
+    assert errs[1]["issue"] == "Cntr MISMATCH"
+    s = quality_summary(c, "time_diff_sec", "matched_status").collect()[0]
+    assert (s["total_count"], s["perfect_count"]) == (6, 1)
+    assert s["avg_time_diff_sec"] == 114.0  # mean over statuses 1/4 only

@@ -169,3 +169,37 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from dataquality_box_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"t{i % 7}") for i in range(100)], "doc_id long, tok string"
+    )
+    bench = spark.createDataFrame([(0, "t1"), (0, "t2")], "doc_id long, tok string")
+    plan = _plan(decontaminate(corpus, bench))
+    # the corpus side must never shuffle: benchmark is broadcast and the
+    # only exchange is the final per-doc aggregation
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_contiguous_single_shuffle(spark):
+    from dataquality_box_spark.operators.curation import pack_bins_contiguous
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 50) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    out = pack_bins_contiguous(df, F.col("doc_id") % 8, "doc_id", "n_tokens", 256)
+    plan = _plan(out)
+    # window and groupBy both key on shard -> the partitioning is reused
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_hash_sample_is_narrow(spark):
+    from dataquality_box_spark.operators.curation import hash_sample
+
+    df = spark.createDataFrame([(i, "en") for i in range(50)], "id long, lang string")
+    plan = _plan(hash_sample(df, "id", 0.5, strata_rates={"en": 0.1}, strata_col="lang"))
+    assert "Exchange" not in plan, plan

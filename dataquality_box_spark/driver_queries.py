@@ -2803,3 +2803,39 @@ def recon_status_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.recon_metrics import status_distribution
 
     return status_distribution(_recon_classified(spark, sf_dir))
+
+
+# Multimodal frame-sampling plan (operators/multimodal.frame_sample_plan)
+# over a deterministic media derivation of documents: every 3rd doc is a
+# "video" with duration (doc_id%10)*1000+500 ms. Verifies the JVM-side
+# explode-on-sequence plumbing (one row per planned frame, sub-second
+# videos still get frame 0) against a generate_series twin.
+@_q(
+    "media_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             'conv_' || CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+             CAST((doc_id % 10) * 1000 + 500 AS INT) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 0)
+    SELECT media_id, conv_id, CAST(f AS INT) AS frame_idx,
+           CAST(f * 1000 AS INT) AS frame_ms
+    FROM m, unnest(generate_series(0,
+           greatest(CAST(floor(duration_ms / 1000) AS INT) - 1, 0))) AS t(f)
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import frame_sample_plan
+
+    d = _tbl(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("conv_"), (F.col("doc_id") % 97).cast("string")).alias(
+            "conv_id"
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("kind"),
+        ((F.col("doc_id") % 10) * 1000 + 500).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)

@@ -2839,3 +2839,45 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 10) * 1000 + 500).cast("int").alias("duration_ms"),
     )
     return frame_sample_plan(media, every_ms=1000)
+
+
+# Distribution drift between two batches (operators/drift.py): events
+# split deterministically into expected (even event_id) vs actual (odd),
+# bucketed by event_type x value-band. ln/proportion arithmetic is
+# rounded at 6 dp on both engines.
+_DRIFT_BUCKET_SQL = "event_type || '#' || CAST(CAST(floor(value / 250) AS BIGINT) AS VARCHAR)"
+
+
+@_q(
+    "drift_psi_report",
+    f"""
+    WITH e AS (
+      SELECT {_DRIFT_BUCKET_SQL} AS bucket,
+             COUNT(*) / (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0) AS p
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+    a AS (
+      SELECT {_DRIFT_BUCKET_SQL} AS bucket,
+             COUNT(*) / (SELECT COUNT(*) FROM events WHERE event_id % 2 = 1) AS p
+      FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+    j AS (
+      SELECT coalesce(e.bucket, a.bucket) AS bucket,
+             greatest(coalesce(e.p, 0), 0.000001) AS pe,
+             greatest(coalesce(a.p, 0), 0.000001) AS pa
+      FROM e FULL OUTER JOIN a ON a.bucket = e.bucket)
+    SELECT bucket, ROUND(pe, 6) AS p_expected, ROUND(pa, 6) AS p_actual,
+           ROUND((pa - pe) * ln(pa / pe), 6) AS psi_term
+    FROM j
+    """,
+)
+def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.drift import psi_report
+
+    ev = _tbl(spark, sf_dir, "events")
+    bucket = F.concat_ws(
+        "#",
+        F.col("event_type"),
+        F.floor(F.col("value") / 250).cast("long").cast("string"),
+    )
+    expected = ev.where(F.col("event_id") % 2 == 0)
+    actual = ev.where(F.col("event_id") % 2 == 1)
+    return psi_report(expected, actual, bucket)

@@ -113,3 +113,55 @@ def render_run_report(
             f"| {sec} | {err} |"
         )
     return "\n".join(lines)
+
+
+# --- Global failure reporter (reference: dags/global_alert_reporter.py) ---
+
+LOOKBACK_MINUTES = 65  # reference: global_alert_reporter.py:21 ("a little
+# over the hourly cadence so boundary failures are never missed")
+
+
+def scan_failed_entries(
+    entries: list,
+    now_epoch: float,
+    lookback_minutes: int = LOOKBACK_MINUTES,
+) -> list[dict]:
+    """Collect FAILED ledger entries finishing inside the lookback window
+    — the analog of the reference's failed-TaskInstance + qa_result XCom
+    scan (global_alert_reporter.py:41-115). Malformed entries (no
+    finished_at) are skipped defensively, like its deserialization
+    fallbacks."""
+    since = now_epoch - lookback_minutes * 60
+    out = []
+    for e in entries:
+        if e.status != "FAILED" or not e.finished_at or e.finished_at < since:
+            continue
+        out.append(
+            {
+                "stage": e.stage,
+                "partition_id": e.partition_id,
+                "batch_id": e.batch_id,
+                "rows_in": e.rows_in,
+                "drop_reason_counts": dict(e.drop_reason_counts or {}),
+                "finished_at": e.finished_at,
+            }
+        )
+    return sorted(out, key=lambda d: (d["stage"], d["partition_id"]))
+
+
+def render_consolidated_alert(failures: list[dict]) -> tuple[str, str] | None:
+    """One subject+body for every failure in the window, or None when
+    there is nothing to send (the reference skips the email entirely,
+    global_alert_reporter.py:121-125)."""
+    if not failures:
+        return None
+    subject = f"[Quality Alert] {len(failures)} Data Quality Checks Failed"
+    lines = []
+    for f in failures:
+        reasons = ", ".join(f"{k}={v}" for k, v in sorted(f["drop_reason_counts"].items()))
+        lines.append(
+            f"- stage={f['stage']} partition={f['partition_id']} "
+            f"batch={f['batch_id']} rows_in={f['rows_in']}"
+            + (f" reasons: {reasons}" if reasons else "")
+        )
+    return subject, "\n".join(lines)

@@ -74,3 +74,31 @@ def test_run_report_markdown(spark, tmp_path):
     assert "**Status: SUCCESS**" in report  # SKIPPED doesn't fail the run
     assert "| A | P2 | filter | SUCCESS | 2 |" in report
     assert "| B | P0 | filter | SKIPPED |" in report
+
+
+def test_global_failure_reporter_window_and_consolidation():
+    from dataquality_box_spark.operators.notify import (
+        render_consolidated_alert,
+        scan_failed_entries,
+    )
+    from dataquality_box_spark.plans.ledger import LedgerEntry
+
+    now = 1_000_000.0
+    entries = [
+        LedgerEntry("scrub", "p1", "FAILED", rows_in=10, finished_at=now - 60),
+        LedgerEntry("scrub", "p2", "SUCCESS", finished_at=now - 60),  # not failed
+        LedgerEntry("scrub", "p3", "FAILED", finished_at=now - 7200),  # too old
+        LedgerEntry("ingest", "p0", "FAILED", finished_at=0.0),  # malformed -> skip
+        LedgerEntry(
+            "agg", "p9", "FAILED",
+            drop_reason_counts={"too_short": 3}, finished_at=now - 120,
+        ),
+    ]
+    failures = scan_failed_entries(entries, now, lookback_minutes=65)
+    assert [(f["stage"], f["partition_id"]) for f in failures] == [
+        ("agg", "p9"), ("scrub", "p1"),
+    ]
+    subject, body = render_consolidated_alert(failures)
+    assert subject == "[Quality Alert] 2 Data Quality Checks Failed"
+    assert "too_short=3" in body and "partition=p1" in body
+    assert render_consolidated_alert([]) is None

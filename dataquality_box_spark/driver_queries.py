@@ -954,7 +954,7 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Candidate work is bounded by bucket sizes (actual duplication), never
 # by token document frequency — the all-pairs dedup_jaccard_pairs below
 # is kept only as a verification baseline on a 10% sample.
-def _jaccard_lsh_sql() -> str:
+def _jaccard_lsh_sql(pair_pred: str = "a.doc_id < b.doc_id") -> str:
     return f"""
     WITH toks0 AS (
       SELECT DISTINCT doc_id, tok
@@ -969,7 +969,7 @@ def _jaccard_lsh_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id),
+       AND {pair_pred}),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -2881,3 +2881,20 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = ev.where(F.col("event_id") % 2 == 0)
     actual = ev.where(F.col("event_id") % 2 == 1)
     return psi_report(expected, actual, bucket)
+
+
+# Incremental (recrawl) dedup: the doc_id%10==0 slice plays the "new
+# batch", probed against the rest of the corpus through the same
+# DF-capped MinHash-LSH machinery — only new-vs-corpus pairs are ever
+# generated or verified.
+@_q(
+    "dedup_incremental_lsh",
+    _jaccard_lsh_sql(pair_pred="a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_lsh_pairs, token_sets
+
+    toks = token_sets(_tbl(spark, sf_dir, "documents"), df_cap_inv=5)
+    new = toks.where(F.col("doc_id") % 10 == 0)
+    corpus = toks.where(F.col("doc_id") % 10 != 0)
+    return incremental_lsh_pairs(new, corpus, threshold=0.8)

@@ -336,3 +336,32 @@ def simhash_hamming_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_lsh_pairs(
+    new_toks: DataFrame,
+    corpus_toks: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup for recrawls: only the NEW batch's band
+    buckets are probed against the corpus's buckets, and Jaccard is
+    verified on those candidate pairs alone. In production the corpus
+    bucket table persists through TableIO keyed (band_idx, band_key), so
+    a recrawl costs O(new batch) hashing + a bucket join — the corpus is
+    never rescanned (its signatures here are computed inline only for
+    self-containment). Returns (doc_a=new id, doc_b=corpus id, jaccard).
+
+    The token sets fed in must share one document-frequency cap
+    population (pass splits of a single ``token_sets`` output) so both
+    sides drop the same hot tokens.
+    """
+    nb = band_buckets(minhash_band_signatures(new_toks, id_col), id_col).select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band_key"
+    )
+    cb = band_buckets(minhash_band_signatures(corpus_toks, id_col), id_col).select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band_key"
+    )
+    cands = nb.join(cb, ["band_idx", "band_key"]).select("doc_a", "doc_b").distinct()
+    toks = new_toks.unionByName(corpus_toks)
+    return jaccard_verify(cands, toks, id_col, threshold)

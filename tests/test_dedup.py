@@ -140,3 +140,29 @@ def test_jaccard_lsh_exact_values(spark):
     s3 = set(toks[toks.doc_id == 3]["tok"])
     expected = round(len(s1 & s3) / len(s1 | s3), 6)
     assert m[(1, 3)] == expected
+
+
+def test_incremental_lsh_only_new_vs_corpus_pairs(spark):
+    from dataquality_box_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        token_sets,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),  # "new": near-dup of corpus doc 11
+        (10, "completely unrelated words about spark catalyst planner internals"),
+        (11, base + " x"),  # corpus near-dup of new doc 0
+        (12, base + " x"),  # corpus dup of 11 — corpus-corpus pair must NOT emit
+        (13, "another distinct document body with its own vocabulary entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = token_sets(docs, df_cap_inv=None)
+    new = toks.where("doc_id < 10")
+    corpus = toks.where("doc_id >= 10")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in incremental_lsh_pairs(new, corpus, threshold=0.8).collect()
+    }
+    assert set(got) == {(0, 11), (0, 12)}  # new-vs-corpus only, both corpus dups found
+    assert all(j >= 0.8 for j in got.values())

@@ -2898,3 +2898,79 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = toks.where(F.col("doc_id") % 10 == 0)
     corpus = toks.where(F.col("doc_id") % 10 != 0)
     return incremental_lsh_pairs(new, corpus, threshold=0.8)
+
+
+# Boilerplate mining: the most frequent 3-token shingles corpus-wide are
+# boilerplate candidates (the corpus-level companion of the per-doc
+# boilerplate regex in functions/text.py). One shingle explode + one
+# hash agg + top-k; deterministic tiebreak on the shingle itself.
+@_q(
+    "boilerplate_ngrams",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS tok FROM tt)
+    SELECT tok AS shingle,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM sh GROUP BY tok
+    ORDER BY n_occurrences DESC, shingle
+    LIMIT 25
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)))
+    shingles = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(3)]
+        ),
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "shingle")
+        .limit(25)
+    )
+
+
+# Context-window assembly (the SFT-example shape): for each event, the
+# ordered list of up to 3 preceding event_types in the same user stream —
+# a bounded-preceding window aggregation under the stable ordering
+# contract (O4). At scale this is the same single conv/user shuffle the
+# flagship pipeline makes.
+@_q(
+    "context_window_assembly",
+    """
+    SELECT event_id,
+           user_id,
+           coalesce(list_aggregate(ctx, 'string_agg', ' > '), '') AS context
+    FROM (
+      SELECT event_id, user_id,
+             list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+      FROM events)
+    """,
+)
+def context_window_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _tbl(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.concat_ws(" > ", F.collect_list("event_type").over(w)).alias("context"),
+    )

@@ -2974,3 +2974,46 @@ def context_window_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.concat_ws(" > ", F.collect_list("event_type").over(w)).alias("context"),
     )
+
+
+# Cross-source key canonicalization (functions/keys.py): dirty key
+# variants ('AT7' / 'x-7-y' / '7') expand to sorted canonical
+# zero-padded forms; pure narrow column work.
+@_q(
+    "key_variant_matching",
+    """
+    WITH k AS (SELECT DISTINCT CASE CAST(c_custkey % 3 AS INT)
+        WHEN 0 THEN 'AT' || CAST(c_custkey % 120 AS VARCHAR)
+        WHEN 1 THEN 'x-' || CAST(c_custkey % 120 AS VARCHAR) || '-y'
+        ELSE CAST(c_custkey % 120 AS VARCHAR) END AS dirty_key FROM customer),
+    v AS (SELECT dirty_key,
+                 regexp_replace(upper(trim(dirty_key)), '[^0-9]', '', 'g') AS d
+          FROM k)
+    SELECT dirty_key,
+           list_aggregate(list_sort(list_distinct([
+             'AT' || CASE WHEN length(d) >= 2 THEN d ELSE lpad(d, 2, '0') END,
+             'AT' || CASE WHEN length(d) >= 3 THEN d ELSE lpad(d, 3, '0') END
+           ])), 'string_agg', ',') AS variants
+    FROM v
+    """,
+)
+def key_variant_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.keys import canonical_key_variants
+
+    c = _tbl(spark, sf_dir, "customer")
+    d = (F.col("c_custkey") % 120).cast("string")
+    dirty = (
+        F.when((F.col("c_custkey") % 3) == 0, F.concat(F.lit("AT"), d))
+        .when((F.col("c_custkey") % 3) == 1, F.concat(F.lit("x-"), d, F.lit("-y")))
+        .otherwise(d)
+    )
+    return (
+        c.select(dirty.alias("dirty_key"))
+        .distinct()
+        .select(
+            "dirty_key",
+            F.array_join(
+                canonical_key_variants(F.col("dirty_key")), ","
+            ).alias("variants"),
+        )
+    )

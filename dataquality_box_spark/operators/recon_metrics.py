@@ -107,3 +107,29 @@ def quality_summary(
 def status_distribution(classified: DataFrame) -> DataFrame:
     """Status histogram (metrics.py:126-128)."""
     return classified.groupBy("set_status").agg(F.count("*").alias("n"))
+
+
+def real_missing(
+    joined: DataFrame,
+    matched_col: str,
+    ts_col: str,
+    clip_start,
+    clip_end,
+) -> Column:
+    """The reference's clipped real-missing judgment (reference:
+    plugins/services/data_quality_runner.py:922-948): a row counts as
+    REALLY missing only when it is unmatched AND its timestamp falls
+    inside the observed window [clip_start, clip_end] — unmatched rows
+    outside the window are neighboring-shift noise and ignored. When the
+    window cannot be computed (either bound None), NOTHING is flagged
+    (false negatives over false alarms, the reference's stance).
+
+    Returned as a Column so callers compose it into their own report
+    (e.g. ``joined.withColumn("real_missing", real_missing(...))``).
+    """
+    if clip_start is None or clip_end is None:
+        return F.lit(False)
+    in_window = (F.col(ts_col) >= F.lit(clip_start)) & (
+        F.col(ts_col) <= F.lit(clip_end)
+    )
+    return ~F.col(matched_col) & in_window

@@ -6,6 +6,7 @@ missing columns added as typed nulls."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataquality_box_spark.functions.normalize import (
@@ -88,3 +89,51 @@ def test_conform_full_pipeline_and_empty_input(spark):
     empty_out = conform(df.limit(0), SCHEMA)
     assert empty_out.count() == 0
     assert empty_out.schema == SCHEMA
+
+
+def test_key_variant_expansion(spark):
+    from dataquality_box_spark.functions.keys import (
+        canonical_key_variants,
+        expand_key_variants,
+    )
+
+    df = spark.createDataFrame(
+        [("AT01",), ("at1",), ("1",), ("AT001",), ("XX-7-Y",), ("junk",), ("  AT02 ",)],
+        "k string",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in df.select("k", canonical_key_variants(F.col("k")).alias("v")).collect()
+    }
+    # the digit-bearing forms share the canonical AT001 variant (zfill
+    # never truncates, so leading-zero digits keep only the long form)
+    assert got["AT01"] == got["at1"] == got["1"] == ["AT001", "AT01"]
+    assert got["AT001"] == ["AT001"]
+    assert set(got["AT001"]) & set(got["AT01"])  # still match via intersection
+    assert got["XX-7-Y"] == ["AT007", "AT07"]  # digits extracted, junk not kept
+    assert got["junk"] == ["JUNK"]  # no digits -> passthrough, never prefixed
+    assert got["  AT02 "] == ["AT002", "AT02"]
+    # exploded shape: one row per variant
+    assert expand_key_variants(df, "k").count() == 12
+
+
+def test_real_missing_clipped_window(spark):
+    from datetime import datetime
+
+    from dataquality_box_spark.operators.recon_metrics import real_missing
+
+    rows = [
+        (1, False, datetime(2026, 8, 16, 10, 0)),  # unmatched, in window -> real
+        (2, False, datetime(2026, 8, 16, 23, 0)),  # unmatched, outside -> noise
+        (3, True, datetime(2026, 8, 16, 10, 0)),  # matched -> not missing
+    ]
+    df = spark.createDataFrame(rows, "id long, matched boolean, ts timestamp")
+    lo, hi = datetime(2026, 8, 16, 8, 0), datetime(2026, 8, 16, 12, 0)
+    got = {
+        r["id"]: r["rm"]
+        for r in df.withColumn("rm", real_missing(df, "matched", "ts", lo, hi)).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}
+    # unknown window -> nothing flagged
+    none = df.withColumn("rm", real_missing(df, "matched", "ts", None, hi))
+    assert all(not r["rm"] for r in none.collect())

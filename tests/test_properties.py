@@ -187,3 +187,89 @@ def test_minhash_constants_never_overflow_int64(k, x):
     v = a * x + b
     assert v < 2**63
     assert 0 <= v % MINHASH_PRIME < 2**33
+
+
+# --- next-fit packing: pure-Python model of the applyInPandas inner loop
+# (the Spark wrapper is covered in tests/test_curation.py; fuzzing the
+# recurrence here costs no JVM roundtrips)
+def _nextfit_bins(tokens: list[int], budget: int) -> list[int]:
+    bins, filled, cur = [], 0, 0
+    for t in tokens:
+        if filled and filled + t > budget:
+            cur += 1
+            filled = 0
+        filled += t
+        bins.append(cur)
+    return bins
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=200),
+    st.integers(min_value=50, max_value=256),
+)
+@settings(max_examples=100, deadline=None)
+def test_nextfit_budget_and_contiguity_properties(tokens, budget):
+    bins = _nextfit_bins(tokens, budget)
+    # bins are contiguous non-decreasing, starting at 0, step <= 1
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # every bin's total fits the budget unless it holds a single oversized doc
+    totals: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for t, b in zip(tokens, bins):
+        totals[b] = totals.get(b, 0) + t
+        counts[b] = counts.get(b, 0) + 1
+    for b, tot in totals.items():
+        assert tot <= budget or counts[b] == 1
+    # greedy tightness: a new bin opens only because the doc didn't fit
+    firsts = {}
+    for t, b in zip(tokens, bins):
+        if b not in firsts:
+            firsts[b] = t
+    for b in range(1, len(firsts)):
+        assert totals[b - 1] + firsts[b] > budget
+
+
+# --- key canonicalization: Spark column semantics vs a pure-Python model
+def _py_variants(key: str, prefix="AT", widths=(2, 3)) -> list[str]:
+    s = key.strip().upper()
+    digits = re.sub(r"[^0-9]", "", s)
+    if not digits:
+        return sorted({s})
+    return sorted({f"{prefix}{digits.zfill(w)}" for w in widths})
+
+
+# domain = printable ASCII (machine IDs): JVM trim/upper and Python
+# strip()/upper() agree there; unicode whitespace/case-folding edge cases
+# (e.g. 'ß', ' ') are outside what an ID column ever carries
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_key_variants_match_python_model(keys):
+    keys = [k for k in keys if k.strip()]
+    if not keys:
+        return
+    import pyspark.sql.functions as F
+
+    from dataquality_box_spark.functions.keys import canonical_key_variants
+    from dataquality_box_spark.session import get_spark
+
+    spark = get_spark("dqx-tests", parallelism=4, shuffle_partitions=4)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["v"]
+        for r in df.select(
+            "k", canonical_key_variants(F.col("k")).alias("v")
+        ).collect()
+    }
+    for k in keys:
+        assert got[k] == _py_variants(k), k

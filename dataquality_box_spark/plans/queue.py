@@ -1,0 +1,160 @@
+"""Persistent work queue with zombie recovery — the packing-queue state
+machine re-expressed on the TableIO seam.
+
+Reference behavior (reference: dags/asset_packing_dag.py:36-39 constants,
+:45-98 zombie cleanup, :105-203 claim batch + backlog alert, :222-301
+per-item completion): a DB table drives asynchronous work —
+
+    PENDING -> (claim, batch of 50) -> PROCESSING
+    PROCESSING/POLLING older than 2 h  -> zombie:
+        retry_count < 3  -> PENDING again, retry_count += 1
+        retry_count >= 3 -> ABANDONED
+    work outcome -> SUCCESS | FAILED
+    backlog alert when PENDING count >= 500
+
+The reference claims with ``FOR UPDATE SKIP LOCKED``; on a lake table the
+equivalent is an atomic snapshot-commit of the status transition (MERGE
+on Iceberg — optimistic concurrency; two competing claimers conflict at
+commit and one retries). Here every transition is a keyed MERGE through
+``sources/merge.merge_upsert``, so the queue state survives crashes and
+replays idempotently. ``now`` is injected everywhere (deterministic
+tests, backfill replays). Claim order is deterministic:
+(updated_at, item_id) oldest first.
+
+The actual packing work (HTTP service, S10) stays out of scope — this is
+the queue contract around it; callers plug any executor into
+``complete``.
+"""
+
+from __future__ import annotations
+
+import json
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.merge import merge_upsert
+from ..sources.tableio import TableIO
+
+# reference: dags/asset_packing_dag.py:36-39
+CLAIM_BATCH = 50
+ZOMBIE_TIMEOUT_SEC = 2 * 3600
+MAX_RETRIES = 3
+BACKLOG_ALERT_THRESHOLD = 500
+
+QUEUE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.StringType(), False),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
+        T.StructField("updated_at", T.DoubleType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+_ACTIVE = ("PROCESSING", "POLLING")
+
+
+class WorkQueue:
+    def __init__(self, spark: SparkSession, io: TableIO, table: str = "work_queue"):
+        self.spark = spark
+        self.io = io
+        self.table = table
+
+    def _state(self) -> DataFrame:
+        import os
+
+        if not os.path.isdir(f"{self.io.root}/{self.table}"):
+            return self.spark.createDataFrame([], QUEUE_SCHEMA)
+        return self.io.read(self.spark, self.table)
+
+    def _merge(self, rows: list[tuple]) -> None:
+        updates = self.spark.createDataFrame(rows, QUEUE_SCHEMA)
+        merge_upsert(self.spark, self.io, updates, self.table, keys=["item_id"])
+
+    def enqueue(self, items: dict[str, dict], now: float) -> int:
+        """Insert new items as PENDING; ids already queued are left
+        untouched (the intake DAG's insert-if-absent contract)."""
+        existing = {r["item_id"] for r in self._state().select("item_id").collect()}
+        fresh = [
+            (iid, json.dumps(payload, sort_keys=True), "PENDING", 0, now, None)
+            for iid, payload in sorted(items.items())
+            if iid not in existing
+        ]
+        if fresh:
+            self._merge(fresh)
+        return len(fresh)
+
+    def cleanup_zombies(
+        self,
+        now: float,
+        timeout_sec: int = ZOMBIE_TIMEOUT_SEC,
+        max_retries: int = MAX_RETRIES,
+    ) -> dict[str, int]:
+        """Requeue timed-out active items (retry budget left) or abandon
+        them (budget exhausted) — asset_packing_dag.py:45-98."""
+        cutoff = now - timeout_sec
+        zombies = (
+            self._state()
+            .where(F.col("status").isin(*_ACTIVE) & (F.col("updated_at") < cutoff))
+            .collect()
+        )
+        reset, abandoned = [], []
+        for z in zombies:
+            if z["retry_count"] < max_retries:
+                reset.append(
+                    (z["item_id"], z["payload"], "PENDING",
+                     z["retry_count"] + 1, now, z["error"])
+                )
+            else:
+                abandoned.append(
+                    (z["item_id"], z["payload"], "ABANDONED",
+                     z["retry_count"], now, "max retries exceeded")
+                )
+        if reset or abandoned:
+            self._merge(reset + abandoned)
+        return {"reset": len(reset), "abandoned": len(abandoned)}
+
+    def claim(self, now: float, batch: int = CLAIM_BATCH) -> list[dict]:
+        """Oldest PENDING items (deterministic order), flipped to
+        PROCESSING in one MERGE commit — the snapshot-commit analog of
+        FOR UPDATE SKIP LOCKED (asset_packing_dag.py:105-180)."""
+        pending = (
+            self._state()
+            .where(F.col("status") == "PENDING")
+            .orderBy("updated_at", "item_id")
+            .limit(batch)
+            .collect()
+        )
+        if pending:
+            self._merge(
+                [
+                    (r["item_id"], r["payload"], "PROCESSING",
+                     r["retry_count"], now, r["error"])
+                    for r in pending
+                ]
+            )
+        return [
+            {"item_id": r["item_id"], "payload": json.loads(r["payload"] or "{}"),
+             "retry_count": r["retry_count"]}
+            for r in pending
+        ]
+
+    def complete(
+        self, item_id: str, ok: bool, now: float, error: str | None = None
+    ) -> None:
+        """Terminal transition for one item (asset_packing_dag.py:254-301)."""
+        cur = self._state().where(F.col("item_id") == item_id).collect()
+        if not cur:
+            raise KeyError(f"unknown queue item: {item_id}")
+        r = cur[0]
+        status = "SUCCESS" if ok else "FAILED"
+        self._merge([(item_id, r["payload"], status, r["retry_count"], now, error)])
+
+    def backlog(self) -> int:
+        return self._state().where(F.col("status") == "PENDING").count()
+
+    def backlog_alert(self, threshold: int = BACKLOG_ALERT_THRESHOLD) -> bool:
+        """asset_packing_dag.py:185-188."""
+        return self.backlog() >= threshold

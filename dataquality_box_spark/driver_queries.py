@@ -3017,3 +3017,99 @@ def key_variant_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("variants"),
         )
     )
+
+
+# End-to-end curation funnel over the documents corpus: exact dedup ->
+# quality filter -> decontamination -> stratified sample, reporting
+# survivors per stage (the corpus-prep counterpart of the transcript
+# pipeline's drop-reason accounting). Quality threshold compares the
+# 6dp-rounded score both engines already agree on bit-exactly
+# (doc_quality_score), so the boundary is engine-stable.
+def _funnel_sql() -> str:
+    stop = "|".join(MARKERS["en"])
+    return f"""
+    WITH corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0),
+    d1 AS (SELECT doc_id, text, lang FROM (
+             SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+             FROM corpus) WHERE doc_id = keeper),
+    scored AS (
+      SELECT doc_id, text, lang,
+             ROUND(0.4 * LEAST(1.0, len({_TOKENS}) / 50.0)
+                   + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) / length(text)
+                       ELSE 0.0 END)
+                   + 0.3 * CASE WHEN len({_TOKENS}) > 0
+                       THEN LEAST(1.0, 5.0 * len(regexp_extract_all(lower(text), '\\b(?:{stop})\\b')) / len({_TOKENS}))
+                       ELSE 0.0 END, 6) AS q
+      FROM d1),
+    d2 AS (SELECT doc_id, text, lang FROM scored WHERE q >= 0.5),
+    tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, tok
+           FROM (SELECT doc_id, unnest({_SHINGLES}) AS tok FROM tt) u),
+    bench AS (SELECT DISTINCT tok FROM sh WHERE doc_id % 50 = 0),
+    dirty AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (tok)),
+    d3 AS (SELECT d2.* FROM d2 LEFT JOIN dirty ON dirty.doc_id = d2.doc_id
+           WHERE dirty.doc_id IS NULL),
+    d4 AS (SELECT * FROM d3
+           WHERE {_SAMPLE_BUCKET} < CAST(
+             CASE WHEN lang = 'en' THEN 0.2 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END
+             * 4294967296.0 AS BIGINT))
+    SELECT stage, n FROM (
+      SELECT '0_corpus' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM corpus
+      UNION ALL SELECT '1_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM d1
+      UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM d2
+      UNION ALL SELECT '3_decontaminated', CAST(COUNT(*) AS BIGINT) FROM d3
+      UNION ALL SELECT '4_sampled', CAST(COUNT(*) AS BIGINT) FROM d4)
+    """
+
+
+@_q("curation_funnel", _funnel_sql())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .functions.text import tokens
+    from .operators.curation import decontaminate, hash_sample
+    from .operators.dedup import shingle_sets
+
+    d = _tbl(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 50 != 0).select("doc_id", "text", "lang")
+
+    keeper = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
+    d1 = corpus.withColumn("__k", keeper).where(F.col("doc_id") == F.col("__k")).drop("__k")
+
+    nt = F.size(tokens(F.col("text")))
+    nc = F.length("text")
+    nsym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 \\t\\n\\r]", ""))
+    nstop = F.regexp_count(
+        F.lower(F.col("text")), F.lit("\\b(?:" + "|".join(MARKERS["en"]) + ")\\b")
+    )
+    score = F.round(
+        0.4 * F.least(F.lit(1.0), nt / F.lit(50.0))
+        + 0.3 * (F.lit(1.0) - F.when(nc > 0, nsym / nc).otherwise(F.lit(0.0)))
+        + 0.3
+        * F.when(nt > 0, F.least(F.lit(1.0), F.lit(5.0) * nstop / nt)).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    d2 = d1.where(score >= 0.5)
+
+    sh = shingle_sets(d, n=3)
+    bench = sh.where(F.col("doc_id") % 50 == 0)
+    dirty = decontaminate(sh.where(F.col("doc_id") % 50 != 0), bench).select("doc_id")
+    d3 = d2.join(dirty, "doc_id", "left_anti")
+
+    d4 = hash_sample(
+        d3, "doc_id", rate=0.5, salt="s0",
+        strata_rates={"en": 0.2, "de": 0.8}, strata_col="lang",
+    )
+
+    stages = [("0_corpus", corpus), ("1_exact_dedup", d1), ("2_quality", d2),
+              ("3_decontaminated", d3), ("4_sampled", d4)]
+    out = None
+    for name, frame in stages:
+        row = frame.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -102,6 +102,8 @@ class TableIO:
 
     def partition_exists(self, table: str, part_col: str, value) -> bool:
         if self.catalog:
-            raise NotImplementedError
+            raise NotImplementedError(
+                "catalog tables: query partition metadata (SHOW PARTITIONS)"
+            )
         d = self._part_dir(table, part_col, value)
         return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))

@@ -23,6 +23,24 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Per-stage parquet compression defaults (reference: plugins/infra/
+# io_strategy.py:33-37).
+DEFAULT_COMPRESSION = {"RAW": "zstd", "ENTITY": "zstd", "RESULT": "zstd"}
+
+
+def stage_compression(stage: str, env=None) -> str:
+    """Codec resolution chain for a pipeline stage (reference:
+    io_strategy.py:301-338): stage-specific env var
+    (``PARQUET_COMPRESSION_<STAGE>``) > global env var
+    (``PARQUET_COMPRESSION``) > per-stage default > zstd. ``env`` is
+    injectable for tests."""
+    env = os.environ if env is None else env
+    return (
+        env.get(f"PARQUET_COMPRESSION_{stage}")
+        or env.get("PARQUET_COMPRESSION")
+        or DEFAULT_COMPRESSION.get(stage, "zstd")
+    )
+
 
 class TableIO:
     def __init__(self, root: str, catalog: str | None = None, compression: str = "zstd"):
@@ -107,3 +125,8 @@ class TableIO:
             )
         d = self._part_dir(table, part_col, value)
         return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+
+
+def for_stage(root: str, stage: str, catalog: str | None = None, env=None) -> TableIO:
+    """TableIO bound to a stage's resolved compression codec."""
+    return TableIO(root, catalog=catalog, compression=stage_compression(stage, env))

@@ -124,3 +124,15 @@ def test_empty_extraction_diagnostics(spark):
     # non-empty extraction -> no diagnosis
     ok = raw.filter(F.col("id") == 1)
     assert diagnose_if_empty(ok, raw) is None
+
+
+def test_stage_compression_resolution_chain():
+    from dataquality_box_spark.sources.tableio import for_stage, stage_compression
+
+    # per-stage env var wins over global over default
+    env = {"PARQUET_COMPRESSION_RESULT": "zstd:5", "PARQUET_COMPRESSION": "snappy"}
+    assert stage_compression("RESULT", env) == "zstd:5"
+    assert stage_compression("RAW", env) == "snappy"
+    assert stage_compression("RAW", {}) == "zstd"
+    assert stage_compression("UNKNOWN_STAGE", {}) == "zstd"
+    assert for_stage("/tmp/x", "RESULT", env=env).compression == "zstd:5"

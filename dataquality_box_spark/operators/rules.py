@@ -164,7 +164,10 @@ def load_rules(path: str) -> list[Rule]:
         if not fname.endswith((".yaml", ".yml")):
             continue
         with open(os.path.join(path, fname)) as f:
-            rules.append(Rule.from_dict(yaml.safe_load(f)))
+            loaded = yaml.safe_load(f)
+        if loaded is None:  # empty file: skipped, not an error
+            continue  # (reference: rule_scanner.py:165-167)
+        rules.append(Rule.from_dict(loaded))
     ids = [r.rule_id for r in rules]
     if len(ids) != len(set(ids)):
         raise RuleConfigError(f"duplicate rule_ids: {ids}")

@@ -166,3 +166,18 @@ def test_toposort_rejects_unknown_dependency():
 
     with pytest.raises(RuleConfigError, match="unknown"):
         toposort_rules([_dep_rule("A", ["GHOST"])])
+
+
+def test_load_rules_skips_empty_yaml(tmp_path):
+    import os
+    import shutil
+
+    from dataquality_box_spark.operators.rules import load_rules
+
+    src = os.path.join(os.path.dirname(__file__), "..", "rules")
+    for f in sorted(os.listdir(src))[:2]:
+        shutil.copy(os.path.join(src, f), tmp_path / f)
+    (tmp_path / "zz_empty.yaml").write_text("")  # reference skips, not errors
+    (tmp_path / "notes.txt").write_text("ignored")
+    rules = load_rules(str(tmp_path))
+    assert len(rules) == 2

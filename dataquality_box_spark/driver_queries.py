@@ -2490,15 +2490,22 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAMPLE_BUCKET = "CAST('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
 
+# integer keep-thresholds computed ONCE in Python (engine-side
+# double->int casts diverge at the boundary: Spark truncates, DuckDB
+# rounds — see operators/curation.sample_threshold)
+from .operators.curation import sample_threshold as _thr  # noqa: E402
+
+_THR_EN, _THR_DE, _THR_DEFAULT = _thr(0.2), _thr(0.8), _thr(0.5)
+
 
 @_q(
     "stratified_hash_sample",
     f"""
     SELECT doc_id, lang
     FROM documents
-    WHERE {_SAMPLE_BUCKET} < CAST(
-        CASE WHEN lang = 'en' THEN 0.2 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END
-        * 4294967296.0 AS BIGINT)
+    WHERE {_SAMPLE_BUCKET} <
+        CASE WHEN lang = 'en' THEN {_THR_EN} WHEN lang = 'de' THEN {_THR_DE}
+             ELSE {_THR_DEFAULT} END
     """,
 )
 def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2922,7 +2929,12 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _tbl(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)))
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
+    # element_at(toks, 0) throws — short docs must yield no shingles
+    # (occurrence counts here, so no distinct — unlike shingle_sets)
+    idxs = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingles = F.transform(
         idxs,
         lambda i: F.concat_ws(
@@ -3051,9 +3063,9 @@ def _funnel_sql() -> str:
     d3 AS (SELECT d2.* FROM d2 LEFT JOIN dirty ON dirty.doc_id = d2.doc_id
            WHERE dirty.doc_id IS NULL),
     d4 AS (SELECT * FROM d3
-           WHERE {_SAMPLE_BUCKET} < CAST(
-             CASE WHEN lang = 'en' THEN 0.2 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END
-             * 4294967296.0 AS BIGINT))
+           WHERE {_SAMPLE_BUCKET} <
+             CASE WHEN lang = 'en' THEN {_THR_EN} WHEN lang = 'de' THEN {_THR_DE}
+                  ELSE {_THR_DEFAULT} END)
     SELECT stage, n FROM (
       SELECT '0_corpus' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM corpus
       UNION ALL SELECT '1_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM d1
@@ -3065,17 +3077,20 @@ def _funnel_sql() -> str:
 
 @_q("curation_funnel", _funnel_sql())
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass funnel: each stage is a boolean survivorship flag on
+    one frame, so the corpus scan / dedup window / shingle join run
+    exactly ONCE and one aggregation yields every stage count (a 5-way
+    count union would re-derive the whole lineage per stage)."""
     from pyspark.sql import Window as W
 
     from .functions.text import tokens
-    from .operators.curation import decontaminate, hash_sample
+    from .operators.curation import decontaminate, sample_flag
     from .operators.dedup import shingle_sets
 
     d = _tbl(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") % 50 != 0).select("doc_id", "text", "lang")
 
     keeper = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
-    d1 = corpus.withColumn("__k", keeper).where(F.col("doc_id") == F.col("__k")).drop("__k")
 
     nt = F.size(tokens(F.col("text")))
     nc = F.length("text")
@@ -3092,24 +3107,37 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    d2 = d1.where(score >= 0.5)
 
     sh = shingle_sets(d, n=3)
     bench = sh.where(F.col("doc_id") % 50 == 0)
-    dirty = decontaminate(sh.where(F.col("doc_id") % 50 != 0), bench).select("doc_id")
-    d3 = d2.join(dirty, "doc_id", "left_anti")
-
-    d4 = hash_sample(
-        d3, "doc_id", rate=0.5, salt="s0",
-        strata_rates={"en": 0.2, "de": 0.8}, strata_col="lang",
+    dirty = (
+        decontaminate(sh.where(F.col("doc_id") % 50 != 0), bench)
+        .select("doc_id")
+        .withColumn("__dirty", F.lit(True))
     )
 
-    stages = [("0_corpus", corpus), ("1_exact_dedup", d1), ("2_quality", d2),
-              ("3_decontaminated", d3), ("4_sampled", d4)]
-    out = None
-    for name, frame in stages:
-        row = frame.agg(F.count("*").alias("n")).select(
-            F.lit(name).alias("stage"), "n"
+    flags = (
+        corpus.withColumn("f1", F.col("doc_id") == keeper)
+        .withColumn("f2", F.col("f1") & (score >= 0.5))
+        .join(dirty, "doc_id", "left")
+        .withColumn("f3", F.col("f2") & F.col("__dirty").isNull())
+        .withColumn(
+            "f4",
+            F.col("f3")
+            & sample_flag(
+                "doc_id", rate=0.5, salt="s0",
+                strata_rates={"en": 0.2, "de": 0.8}, strata_col="lang",
+            ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    agg = flags.agg(
+        F.count("*").alias("c0"),
+        *[F.sum(F.col(f).cast("long")).alias(f"c{i}") for i, f in
+          enumerate(["f1", "f2", "f3", "f4"], start=1)],
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, '0_corpus', c0, '1_exact_dedup', c1, '2_quality', c2, "
+            "'3_decontaminated', c3, '4_sampled', c4) AS (stage, n)"
+        )
+    )

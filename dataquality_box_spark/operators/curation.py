@@ -28,10 +28,8 @@ from __future__ import annotations
 from typing import Mapping
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-HASH_SPACE = float(2**32)
 
 
 def decontaminate(
@@ -62,6 +60,34 @@ def _hash_bucket(id_col, salt: str):
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
+def sample_threshold(rate: float) -> int:
+    """rate -> integer keep-threshold in the 32-bit hash space, computed
+    ONCE in Python and embedded as a literal on both engines. Computing
+    it engine-side invites boundary divergence: Spark's double->long cast
+    truncates while DuckDB's CAST rounds, so e.g. rate 0.8 gave
+    3435973836 vs 3435973837 — one row in 2^32 sampled differently."""
+    return int(float(rate) * 2**32)
+
+
+def sample_flag(
+    id_col: str,
+    rate: float,
+    salt: str = "s0",
+    strata_rates: Mapping[str, float] | None = None,
+    strata_col: str | None = None,
+) -> Column:
+    """Boolean keep-flag for the deterministic sample (composable into
+    multi-stage funnels without re-deriving the bucket expression)."""
+    bucket = _hash_bucket(F.col(id_col), salt)
+    thr = F.lit(sample_threshold(rate))
+    if strata_rates:
+        for value, sr in sorted(strata_rates.items()):
+            thr = F.when(
+                F.col(strata_col) == value, F.lit(sample_threshold(sr))
+            ).otherwise(thr)
+    return bucket < thr
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str,
@@ -71,17 +97,10 @@ def hash_sample(
     strata_col: str | None = None,
 ) -> DataFrame:
     """Deterministic (resume-stable) sample: keep a row iff its hash
-    bucket falls under rate * 2^32. With strata_rates, the rate is
-    per-stratum (CASE over strata_col) with `rate` as the default —
-    e.g. downsample the head language hard, keep the tail."""
-    bucket = _hash_bucket(F.col(id_col), salt)
-    if strata_rates:
-        r = F.lit(float(rate))
-        for value, sr in sorted(strata_rates.items()):
-            r = F.when(F.col(strata_col) == value, F.lit(float(sr))).otherwise(r)
-    else:
-        r = F.lit(float(rate))
-    return df.where(bucket < (r * F.lit(HASH_SPACE)).cast("long"))
+    bucket falls under sample_threshold(rate). With strata_rates, the
+    threshold is per-stratum (CASE over strata_col) with `rate` as the
+    default — e.g. downsample the head language hard, keep the tail."""
+    return df.where(sample_flag(id_col, rate, salt, strata_rates, strata_col))
 
 
 def pack_bins_contiguous(

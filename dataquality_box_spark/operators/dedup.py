@@ -216,7 +216,13 @@ def shingle_sets(
     from ..functions.text import tokens
 
     toks = tokens(F.col(text_col))
-    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # F.sequence(1, 0) yields the DESCENDING [1, 0], not an empty array, and
+    # element_at(toks, 0) then throws — docs shorter than n tokens must be
+    # short-circuited to an empty shingle list (the SQL twins' range() does
+    # this naturally).
+    idxs = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(
         idxs,
         lambda i: F.concat_ws(

@@ -110,7 +110,6 @@ def status_distribution(classified: DataFrame) -> DataFrame:
 
 
 def real_missing(
-    joined: DataFrame,
     matched_col: str,
     ts_col: str,
     clip_start,
@@ -124,8 +123,8 @@ def real_missing(
     window cannot be computed (either bound None), NOTHING is flagged
     (false negatives over false alarms, the reference's stance).
 
-    Returned as a Column so callers compose it into their own report
-    (e.g. ``joined.withColumn("real_missing", real_missing(...))``).
+    A pure Column builder — compose it into any joined frame:
+    ``joined.withColumn("real_missing", real_missing(...))``.
     """
     if clip_start is None or clip_end is None:
         return F.lit(False)

@@ -114,12 +114,18 @@ def trim_rows(
     """Row-level retention: keep only rows matching ``keep``; returns the
     number of rows removed. Iceberg path: a metadata-only DELETE. Parquet
     fallback: read -> filter -> atomic rewrite (same os.replace staging
-    as the MERGE sink, sources/merge.py)."""
+    as the MERGE sink, sources/merge.py). The frame is persisted so the
+    two counts and the rewrite all come from ONE materialized read — not
+    three scans of a directory that could change between them."""
     from ..sources.merge import _atomic_overwrite
 
-    df = io.read(spark, table)
-    kept = df.filter(keep)
-    removed = df.count() - kept.count()
-    if removed:
-        _atomic_overwrite(kept, io, table)
+    df = io.read(spark, table).persist()
+    try:
+        total = df.count()
+        kept = df.filter(keep)
+        removed = total - kept.count()
+        if removed:
+            _atomic_overwrite(kept, io, table)
+    finally:
+        df.unpersist()
     return removed

@@ -12,14 +12,18 @@ per-item completion): a DB table drives asynchronous work —
     work outcome -> SUCCESS | FAILED
     backlog alert when PENDING count >= 500
 
-The reference claims with ``FOR UPDATE SKIP LOCKED``; on a lake table the
-equivalent is an atomic snapshot-commit of the status transition (MERGE
-on Iceberg — optimistic concurrency; two competing claimers conflict at
-commit and one retries). Here every transition is a keyed MERGE through
-``sources/merge.merge_upsert``, so the queue state survives crashes and
-replays idempotently. ``now`` is injected everywhere (deterministic
-tests, backfill replays). Claim order is deterministic:
-(updated_at, item_id) oldest first.
+The reference claims with ``FOR UPDATE SKIP LOCKED`` but then FORCES the
+workers serial anyway (``max_active_runs=1`` / ``max_active_tasks=1``,
+dags/reconciliation_worker_dag.py:39-41) — there is exactly one claimer
+at a time. This implementation keeps that single-scheduler contract
+explicit: transitions are keyed MERGEs through
+``sources/merge.merge_upsert`` (crash-safe and idempotently replayable),
+but the parquet fallback has NO cross-process conflict detection — two
+concurrent claimers could both flip the same PENDING rows. On Iceberg
+the same MERGE gets optimistic concurrency for free (competing commits
+conflict; one retries), which is the multi-scheduler upgrade path.
+``now`` is injected everywhere (deterministic tests, backfill replays).
+Claim order is deterministic: (updated_at, item_id) oldest first.
 
 The actual packing work (HTTP service, S10) stays out of scope — this is
 the queue contract around it; callers plug any executor into
@@ -75,16 +79,18 @@ class WorkQueue:
 
     def enqueue(self, items: dict[str, dict], now: float) -> int:
         """Insert new items as PENDING; ids already queued are left
-        untouched (the intake DAG's insert-if-absent contract)."""
-        existing = {r["item_id"] for r in self._state().select("item_id").collect()}
-        fresh = [
+        untouched (the intake DAG's insert-if-absent contract). The
+        absent-check is a distributed anti join (sources/merge.
+        insert_missing) — never a driver-side id collect, so a long
+        SUCCESS/FAILED history doesn't grow driver memory."""
+        from ..sources.merge import insert_missing
+
+        rows = [
             (iid, json.dumps(payload, sort_keys=True), "PENDING", 0, now, None)
             for iid, payload in sorted(items.items())
-            if iid not in existing
         ]
-        if fresh:
-            self._merge(fresh)
-        return len(fresh)
+        updates = self.spark.createDataFrame(rows, QUEUE_SCHEMA)
+        return insert_missing(self.spark, self.io, updates, self.table, keys=["item_id"])
 
     def cleanup_zombies(
         self,
@@ -118,8 +124,9 @@ class WorkQueue:
 
     def claim(self, now: float, batch: int = CLAIM_BATCH) -> list[dict]:
         """Oldest PENDING items (deterministic order), flipped to
-        PROCESSING in one MERGE commit — the snapshot-commit analog of
-        FOR UPDATE SKIP LOCKED (asset_packing_dag.py:105-180)."""
+        PROCESSING in one MERGE commit (asset_packing_dag.py:105-180).
+        Single-scheduler contract — see the module docstring; Iceberg's
+        optimistic MERGE is the multi-claimer upgrade path."""
         pending = (
             self._state()
             .where(F.col("status") == "PENDING")

@@ -25,9 +25,13 @@ def _atomic_overwrite(df: DataFrame, io: TableIO, table: str) -> None:
     Iceberg catalog replaces this whole dance with a snapshot commit)."""
     import os
     import shutil
+    import uuid
 
     target_dir = f"{io.root}/{table}"
-    staging = f"{io.root}/__staging__{table}"
+    # unique staging dir per call: two in-flight rewrites of the same
+    # table must not overwrite each other's staging output (last
+    # os.replace still wins the swap, but neither sees corrupt partials)
+    staging = f"{io.root}/__staging__{table}__{uuid.uuid4().hex}"
     df.write.mode("overwrite").option("compression", io.compression).parquet(staging)
     shutil.rmtree(target_dir, ignore_errors=True)
     os.replace(staging, target_dir)

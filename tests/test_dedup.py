@@ -166,3 +166,22 @@ def test_incremental_lsh_only_new_vs_corpus_pairs(spark):
     }
     assert set(got) == {(0, 11), (0, 12)}  # new-vs-corpus only, both corpus dups found
     assert all(j >= 0.8 for j in got.values())
+
+
+def test_shingles_on_short_docs_yield_empty_not_crash(spark):
+    from dataquality_box_spark.operators.curation import decontaminate
+    from dataquality_box_spark.operators.dedup import shingle_sets
+
+    docs = spark.createDataFrame(
+        [(0, "ok"), (1, "two tokens"), (2, ""), (3, "exactly three tokens here")],
+        "doc_id long, text string",
+    )
+    sh = shingle_sets(docs, n=3)
+    got = {r["doc_id"]: r["tok"] for r in sh.collect()}
+    # docs shorter than n produce NO shingles (sequence(1,0) is the
+    # descending [1,0] trap — regression for the element_at(toks,0) crash)
+    assert set(got) == {3}
+    # and the curation paths that route arbitrary corpora through
+    # shingles survive short docs end-to-end
+    out = decontaminate(sh, sh.limit(0).unionByName(sh)).count()
+    assert out >= 0

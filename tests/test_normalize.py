@@ -131,9 +131,9 @@ def test_real_missing_clipped_window(spark):
     lo, hi = datetime(2026, 8, 16, 8, 0), datetime(2026, 8, 16, 12, 0)
     got = {
         r["id"]: r["rm"]
-        for r in df.withColumn("rm", real_missing(df, "matched", "ts", lo, hi)).collect()
+        for r in df.withColumn("rm", real_missing("matched", "ts", lo, hi)).collect()
     }
     assert got == {1: True, 2: False, 3: False}
     # unknown window -> nothing flagged
-    none = df.withColumn("rm", real_missing(df, "matched", "ts", None, hi))
+    none = df.withColumn("rm", real_missing("matched", "ts", None, hi))
     assert all(not r["rm"] for r in none.collect())

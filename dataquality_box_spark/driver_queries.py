@@ -2302,14 +2302,14 @@ def dedup_shingle_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_sessions",
     """
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_no
       FROM o)
     SELECT user_id, CAST(session_no AS BIGINT) AS session_no,

@@ -42,7 +42,6 @@ def rename_candidates(df: DataFrame, mapping: dict[str, list[str]]) -> DataFrame
     for c in df.columns:
         by_norm.setdefault(_norm_key(c), c)
     renames: dict[str, str] = {}
-    existing_norm = { _norm_key(c) for c in df.columns }
     for target, candidates in mapping.items():
         if target in df.columns:
             continue

@@ -136,7 +136,14 @@ def emit_alerts_and_assets(
             continue
         rows = build_assets(rule, hits, batch_id)
         if rows is not None:
-            assets = rows if assets is None else assets.unionByName(rows)
+            # different P1 rules may declare different field_mapping
+            # keys — union by name with missing columns as nulls, the
+            # same relaxed shape merge.py uses
+            assets = (
+                rows
+                if assets is None
+                else assets.unionByName(rows, allowMissingColumns=True)
+            )
 
     whitelist = (
         assets.select(F.col("asset_id").alias("__exempt_id")).distinct()

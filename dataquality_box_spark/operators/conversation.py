@@ -127,9 +127,18 @@ def sessionize(
     """
     w = Window.partitionBy(key).orderBy(ts_col, *order_extra)
     prev_ts = F.lag(ts_col).over(w)
+    # microsecond-precision gap: unix_timestamp truncates to whole
+    # seconds, which mis-classifies gaps within 1s of the boundary and
+    # diverges from interval comparison in other engines (recon.py uses
+    # unix_micros for the same reason). The cast covers TIMESTAMP_NTZ
+    # inputs (parquet default) — identical wall-clock under the UTC
+    # session; unix_micros itself rejects NTZ.
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
     new_session = (
         prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_sec)
+        | (_us(F.col(ts_col)) - _us(prev_ts) > F.lit(int(gap_sec) * 1_000_000))
     ).cast("long")
     run = Window.partitionBy(key).orderBy(ts_col, *order_extra).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -238,7 +238,12 @@ def jaccard_pairs_lsh_from_tokens(
     toks: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
 ) -> DataFrame:
     """LSH route over a pre-built (id, tok) set (unigrams, shingles,
-    char n-grams, ...). Persists the set for its three consumers."""
+    char n-grams, ...). Persists the set for its three consumers
+    (signatures, sizes, verify join). Lifetime note: the cache outlives
+    this call because the returned plan is lazy — long-lived sessions
+    running many dedup queries should ``unpersist`` the input after
+    consuming the result (MEMORY_AND_DISK blocks are otherwise held
+    until LRU eviction)."""
     from pyspark import StorageLevel
 
     toks = toks.persist(StorageLevel.MEMORY_AND_DISK)

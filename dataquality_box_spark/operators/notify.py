@@ -105,7 +105,13 @@ def render_run_report(
         "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        sec = f"{r['execution_time_sec']:.2f}" if r["execution_time_sec"] else ""
+        # `is not None`, not truthiness: a legitimate 0.00s duration must
+        # render, only never-timed rules leave the cell blank
+        sec = (
+            f"{r['execution_time_sec']:.2f}"
+            if r["execution_time_sec"] is not None
+            else ""
+        )
         err = (r["error_message"] or "").splitlines()[0][:80] if r["error_message"] else ""
         lines.append(
             f"| {r['rule_id']} | {r['severity'] or ''} | {r['logic_type'] or ''} "

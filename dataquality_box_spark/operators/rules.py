@@ -122,6 +122,13 @@ class RuleResult:
     reason: str | None = None
     execution_time_sec: float | None = None
 
+    @staticmethod
+    def unpersist_all(results: list["RuleResult"]) -> None:
+        """Release hit frames persisted by count_hits mode."""
+        for r in results:
+            if r.hits is not None:
+                r.hits.unpersist()
+
 
 def toposort_rules(rules: list[Rule]) -> list[Rule]:
     """Order rules so every ``meta.depends_on`` predecessor comes first
@@ -203,6 +210,12 @@ def evaluate_rule(
     t0 = time.time()
     try:
         hits = _evaluate(rule, df, others or {})
+        if count_hits:
+            # reporting mode consumes hits several times downstream
+            # (count here, alert/asset aggregation, dispatch digest) —
+            # persist so the rule pipeline runs once, not once per
+            # consumer; callers release via RuleResult.unpersist_all
+            hits = hits.persist()
         n = hits.count() if count_hits else None
         return RuleResult(
             rule.rule_id, "SUCCESS", hits, hit_count=n,

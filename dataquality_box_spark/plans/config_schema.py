@@ -36,6 +36,7 @@ from dataclasses import fields as dc_fields
 from typing import Literal
 
 from pydantic import BaseModel, ConfigDict, Field, model_validator
+from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, QualityConfig
 
@@ -63,6 +64,10 @@ class InputConfig(_Strict):
     def _exactly_one_source(self):
         if bool(self.path) == bool(self.table):
             raise ValueError("input requires exactly one of 'path' or 'table'")
+        if self.format == "iceberg" and not self.table:
+            raise ValueError(
+                "format 'iceberg' requires a catalog 'table' (a bare path is parquet)"
+            )
         return self
 
 
@@ -129,18 +134,62 @@ def load_pipeline_config(path: str) -> PipelineYAMLConfig:
 
 def run_from_config(spark, cfg: PipelineYAMLConfig):
     """Execute the declared pipeline: read input -> resumable
-    filter+scrub over n_partitions -> kept table at sinks.root."""
+    filter+scrub over n_partitions -> kept table at sinks.root; then,
+    when declared, evaluate ``rules_dir`` rules over the kept output
+    through the governance lifecycle (alerts/assets + per-rule report,
+    gated by ``report.enabled``). Every accepted key is honored — the
+    strict-validation promise would be hollow if declared fields were
+    silently dropped."""
     from .partitioned import run_resumable
 
     if cfg.input.table:
         df = spark.read.table(cfg.input.table)
     else:
         df = spark.read.parquet(cfg.input.path)
-    return run_resumable(
+    kept = run_resumable(
         spark,
         df,
         cfg.sinks.root,
         cfg=cfg.quality.to_quality_config(),
         n_partitions=cfg.partitioning.n_partitions,
         max_concurrent=cfg.partitioning.max_concurrent,
+        compression=cfg.sinks.compression,
     )
+    if cfg.rules_dir:
+        from ..operators.alerts import emit_from_results
+        from ..operators.rules import RuleResult, load_rules, run_rules
+        from ..sources.merge import merge_upsert
+        from ..sources.tableio import TableIO
+        from .governance import run_governance
+        from .report import write_report  # noqa: F401  (via governance)
+
+        # pipeline.entity scopes which rules apply — the RuleScanner's
+        # target_entity filter (reference: rule_scanner.py:103-124)
+        rules = [
+            r for r in load_rules(cfg.rules_dir) if r.entity == cfg.pipeline.entity
+        ]
+        io = TableIO(cfg.sinks.root, compression=cfg.sinks.compression)
+        if cfg.report.enabled:
+            run_governance(spark, kept, rules, io, batch_id=cfg.pipeline.name)
+        else:
+            results = run_rules(rules, kept, count_hits=True)
+            try:
+                alerts, assets = emit_from_results(rules, results, cfg.pipeline.name)
+                if alerts is not None:
+                    alerts_b = alerts.withColumn(
+                        "batch_id", F.lit(cfg.pipeline.name)
+                    )
+                    merge_upsert(
+                        spark, io, alerts_b, "alerts", keys=["batch_id", "rule_id"]
+                    )
+                if assets is not None:
+                    assets_b = assets.withColumn(
+                        "batch_id", F.lit(cfg.pipeline.name)
+                    )
+                    merge_upsert(
+                        spark, io, assets_b, "assets",
+                        keys=["batch_id", "rule_id", "asset_id"],
+                    )
+            finally:
+                RuleResult.unpersist_all(results)
+    return kept

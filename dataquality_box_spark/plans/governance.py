@@ -47,16 +47,22 @@ def run_governance(
     Returns the RuleResults for further wiring.
     """
     results = run_rules(rules, df, others, count_hits=True)
-    alerts, assets = emit_from_results(rules, results, batch_id)
-    if alerts is not None:
-        alerts_b = alerts.withColumn("batch_id", F.lit(batch_id))
-        merge_upsert(spark, io, alerts_b, "alerts", keys=["batch_id", "rule_id"])
-    if assets is not None:
-        assets_b = assets.withColumn("batch_id", F.lit(batch_id))
-        merge_upsert(
-            spark, io, assets_b, "assets", keys=["batch_id", "rule_id", "asset_id"]
-        )
-    write_report(spark, io, rules, results, batch_id)
-    if alerts is not None:
-        dispatch(alerts, send=send)
+    # hits are persisted by count_hits mode — every downstream consumer
+    # (alert/asset MERGE writes, dispatch digest) reuses the one
+    # materialization instead of re-running each rule pipeline
+    try:
+        alerts, assets = emit_from_results(rules, results, batch_id)
+        if alerts is not None:
+            alerts_b = alerts.withColumn("batch_id", F.lit(batch_id))
+            merge_upsert(spark, io, alerts_b, "alerts", keys=["batch_id", "rule_id"])
+        if assets is not None:
+            assets_b = assets.withColumn("batch_id", F.lit(batch_id))
+            merge_upsert(
+                spark, io, assets_b, "assets", keys=["batch_id", "rule_id", "asset_id"]
+            )
+        write_report(spark, io, rules, results, batch_id)
+        if alerts is not None:
+            dispatch(alerts, send=send)
+    finally:
+        RuleResult.unpersist_all(results)
     return results

@@ -185,9 +185,10 @@ def run_resumable(
     n_partitions: int = 8,
     fail_after: int | None = None,
     max_concurrent: int = 4,
+    compression: str = "zstd",
 ) -> DataFrame:
     """ingest + process all partitions; returns the kept-turns table."""
-    io = TableIO(root)
+    io = TableIO(root, compression=compression)
     ingest(spark, transcripts, io, n_partitions)
     process_partitions(
         spark, io, cfg, n_partitions, fail_after=fail_after,

@@ -111,3 +111,31 @@ def test_dispatch_groups_by_severity(spark):
     n = dispatch(alerts, send=lambda sev, text: sent.append((sev, text)))
     assert n == 2 and {s for s, _ in sent} == {"P0", "P2"}
     assert any("R1" in t for _, t in sent)
+
+
+def test_p1_rules_with_different_field_mappings_union(spark):
+    from dataquality_box_spark.operators.alerts import emit_alerts_and_assets
+    from dataquality_box_spark.operators.rules import Rule
+
+    hits = spark.createDataFrame(
+        [("c1", 3), ("c2", 7)], "conv_id string, turn_idx int"
+    )
+    r_small = Rule(
+        "p1_small", "P1", {"type": "filter", "expr": "lit(True)"},
+        meta={"asset": {"field_mapping": {"asset_id": "conv_id"}}},
+    )
+    r_wide = Rule(
+        "p1_wide", "P1", {"type": "filter", "expr": "lit(True)"},
+        meta={
+            "asset": {
+                "field_mapping": {"asset_id": "conv_id", "src_turn": "turn_idx"}
+            }
+        },
+    )
+    alerts, assets = emit_alerts_and_assets([(r_small, hits), (r_wide, hits)])
+    pdf = assets.toPandas()
+    # different field_mapping shapes union with nulls, not AnalysisException
+    assert "src_turn" in pdf.columns
+    small = pdf[pdf["rule_id"] == "p1_small"]
+    assert small["src_turn"].isna().all()
+    assert len(pdf) == 4

@@ -81,3 +81,38 @@ def test_run_from_config_end_to_end(spark, transcripts_df, tmp_path):
     )
     kept = run_from_config(spark, cfg)
     assert 0 < kept.count() < transcripts_df.count()
+
+
+def test_iceberg_format_requires_table(tmp_path):
+    bad = {**VALID, "input": {"path": "/a", "format": "iceberg"}}
+    with pytest.raises(ValidationError, match="iceberg"):
+        load_pipeline_config(_write(tmp_path, bad))
+
+
+def test_run_from_config_honors_rules_dir_and_report(spark, transcripts_df, tmp_path):
+    import os
+
+    src = str(tmp_path / "in.parquet")
+    transcripts_df.write.mode("overwrite").parquet(src)
+    rules_dir = os.path.join(os.path.dirname(__file__), "..", "rules")
+    root = str(tmp_path / "out")
+    cfg = load_pipeline_config(
+        _write(
+            tmp_path,
+            {
+                "pipeline": {"name": "tq"},
+                "input": {"path": src},
+                "sinks": {"root": root, "compression": "snappy"},
+                "partitioning": {"n_partitions": 2, "max_concurrent": 2},
+                "rules_dir": rules_dir,
+                "report": {"enabled": True},
+            },
+        )
+    )
+    kept = run_from_config(spark, cfg)
+    assert kept.count() > 0
+    # every accepted key is honored: declared rules ran and reported
+    for table in ("rule_results", "run_summary"):
+        assert os.path.isdir(os.path.join(root, table)), table
+    rr = spark.read.parquet(os.path.join(root, "rule_results"))
+    assert rr.filter("batch_id = 'tq'").count() > 0

@@ -276,3 +276,23 @@ def test_recon_metrics_classification_and_errors(spark):
     s = quality_summary(c, "time_diff_sec", "matched_status").collect()[0]
     assert (s["total_count"], s["perfect_count"]) == (6, 1)
     assert s["avg_time_diff_sec"] == 114.0  # mean over statuses 1/4 only
+
+
+def test_sessionize_subsecond_gap_boundary(spark):
+    from datetime import datetime
+
+    from dataquality_box_spark.operators.conversation import sessionize
+
+    rows = [
+        # gap 1800.4s: > 30min by interval comparison -> NEW session
+        (1, datetime(2026, 8, 16, 0, 0, 0, 100000)),
+        (1, datetime(2026, 8, 16, 0, 30, 0, 500000)),
+        # gap 1799.9s from the previous -> SAME session (floor-diff would say 1801 > 1800)
+        (1, datetime(2026, 8, 16, 0, 59, 60 - 1, 400000)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = [
+        r["session_no"]
+        for r in sessionize(df, "user_id", "ts", gap_sec=1800).orderBy("ts").collect()
+    ]
+    assert got == [1, 2, 2]

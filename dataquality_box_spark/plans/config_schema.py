@@ -135,11 +135,11 @@ def load_pipeline_config(path: str) -> PipelineYAMLConfig:
 def run_from_config(spark, cfg: PipelineYAMLConfig):
     """Execute the declared pipeline: read input -> resumable
     filter+scrub over n_partitions -> kept table at sinks.root; then,
-    when declared, evaluate ``rules_dir`` rules over the kept output
-    through the governance lifecycle (alerts/assets + per-rule report,
-    gated by ``report.enabled``). Every accepted key is honored — the
-    strict-validation promise would be hollow if declared fields were
-    silently dropped."""
+    when declared, evaluate ``rules_dir`` rules over the INPUT entity
+    frame through the governance lifecycle (alerts/assets + per-rule
+    report, gated by ``report.enabled``). Every accepted key is honored —
+    the strict-validation promise would be hollow if declared fields
+    were silently dropped."""
     from .partitioned import run_resumable
 
     if cfg.input.table:
@@ -169,10 +169,15 @@ def run_from_config(spark, cfg: PipelineYAMLConfig):
             r for r in load_rules(cfg.rules_dir) if r.entity == cfg.pipeline.entity
         ]
         io = TableIO(cfg.sinks.root, compression=cfg.sinks.compression)
+        # rules evaluate over the INPUT entity frame (pre-filter), like
+        # the reference's rule engine over entity tables — the kept output
+        # no longer carries the raw text the quality rules inspect, and
+        # the violations a rule should alert on are exactly the rows the
+        # filter dropped
         if cfg.report.enabled:
-            run_governance(spark, kept, rules, io, batch_id=cfg.pipeline.name)
+            run_governance(spark, df, rules, io, batch_id=cfg.pipeline.name)
         else:
-            results = run_rules(rules, kept, count_hits=True)
+            results = run_rules(rules, df, count_hits=True)
             try:
                 alerts, assets = emit_from_results(rules, results, cfg.pipeline.name)
                 if alerts is not None:

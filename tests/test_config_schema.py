@@ -116,3 +116,6 @@ def test_run_from_config_honors_rules_dir_and_report(spark, transcripts_df, tmp_
         assert os.path.isdir(os.path.join(root, table)), table
     rr = spark.read.parquet(os.path.join(root, "rule_results"))
     assert rr.filter("batch_id = 'tq'").count() > 0
+    # rules evaluate over the INPUT entity (which carries raw text) —
+    # most fixture rules must actually run, not skip on missing columns
+    assert rr.filter("status = 'SUCCESS'").count() >= 8

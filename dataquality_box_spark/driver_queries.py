@@ -3132,8 +3132,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = flags.agg(
         F.count("*").alias("c0"),
-        *[F.sum(F.col(f).cast("long")).alias(f"c{i}") for i, f in
-          enumerate(["f1", "f2", "f3", "f4"], start=1)],
+        # coalesce: SUM over zero rows is null, but the SQL twin's
+        # per-stage COUNT(*) yields 0 on an empty corpus
+        *[F.coalesce(F.sum(F.col(f).cast("long")), F.lit(0)).alias(f"c{i}")
+          for i, f in enumerate(["f1", "f2", "f3", "f4"], start=1)],
     )
     return agg.select(
         F.expr(

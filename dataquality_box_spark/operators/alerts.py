@@ -36,7 +36,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .rules import Rule, RuleResult
+from .rules import Rule, RuleConfigError, RuleResult
 
 SAMPLE_CAP = 50
 
@@ -103,6 +103,14 @@ def build_assets(
     if not asset_cfg.get("enabled", True):
         return None
     mapping = asset_cfg.get("field_mapping") or {"asset_id": "conv_id"}
+    if "asset_id" not in mapping:
+        # asset_id is the MERGE/whitelist key: a mapping without it would
+        # union as null keys downstream — null keys never match in the
+        # idempotent upsert (rows re-append every replay) and never enter
+        # the P2 exemption whitelist. Fail loudly at plan time instead.
+        raise RuleConfigError(
+            f"rule {rule.rule_id}: asset field_mapping must map 'asset_id'"
+        )
     asset_type = asset_cfg.get("asset_type", "HIGH_VALUE_SCENARIO")
     tags = asset_cfg.get("tags") or []
     template = asset_cfg.get(

@@ -138,7 +138,9 @@ def sessionize(
 
     new_session = (
         prev_ts.isNull()
-        | (_us(F.col(ts_col)) - _us(prev_ts) > F.lit(int(gap_sec) * 1_000_000))
+        # int() AFTER scaling to microseconds: fractional gap thresholds
+        # (gap_sec=0.5, 1800.5) keep their sub-second part
+        | (_us(F.col(ts_col)) - _us(prev_ts) > F.lit(int(gap_sec * 1_000_000)))
     ).cast("long")
     run = Window.partitionBy(key).orderBy(ts_col, *order_extra).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from typing import Mapping
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -142,6 +141,10 @@ def pack_bins_nextfit(
     recurrence is per-shard sequential, so it runs as applyInPandas —
     one Arrow batch per shard, shards in parallel. Output schema matches
     pack_bins_contiguous for drop-in comparison."""
+    # pandas imported lazily: this module is also imported for its pure
+    # threshold arithmetic (driver_queries' oracle SQL literals), which
+    # must not drag the pandas import cost into SQL-only paths
+    import pandas as pd
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")

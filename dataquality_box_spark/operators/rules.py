@@ -216,7 +216,15 @@ def evaluate_rule(
             # persist so the rule pipeline runs once, not once per
             # consumer; callers release via RuleResult.unpersist_all
             hits = hits.persist()
-        n = hits.count() if count_hits else None
+            try:
+                n = hits.count()
+            except BaseException:
+                # the frame never reaches a RuleResult, so release the
+                # cache registration here or it pins for the session
+                hits.unpersist()
+                raise
+        else:
+            n = None
         return RuleResult(
             rule.rule_id, "SUCCESS", hits, hit_count=n,
             execution_time_sec=(time.time() - t0) if count_hits else None,

@@ -36,7 +36,6 @@ from dataclasses import fields as dc_fields
 from typing import Literal
 
 from pydantic import BaseModel, ConfigDict, Field, model_validator
-from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, QualityConfig
 
@@ -105,7 +104,9 @@ class QualityOverrides(_Strict):
 
 class SinksConfig(_Strict):
     root: str = Field(min_length=1)
-    compression: str = "zstd"
+    # None -> resolve through the per-stage env chain
+    # (sources/tableio.stage_compression); an explicit YAML value wins
+    compression: str | None = None
 
 
 class ReportConfig(_Strict):
@@ -156,45 +157,29 @@ def run_from_config(spark, cfg: PipelineYAMLConfig):
         compression=cfg.sinks.compression,
     )
     if cfg.rules_dir:
-        from ..operators.alerts import emit_from_results
-        from ..operators.rules import RuleResult, load_rules, run_rules
-        from ..sources.merge import merge_upsert
+        from ..operators.rules import load_rules
         from ..sources.tableio import TableIO
         from .governance import run_governance
-        from .report import write_report  # noqa: F401  (via governance)
 
         # pipeline.entity scopes which rules apply — the RuleScanner's
         # target_entity filter (reference: rule_scanner.py:103-124)
         rules = [
             r for r in load_rules(cfg.rules_dir) if r.entity == cfg.pipeline.entity
         ]
-        io = TableIO(cfg.sinks.root, compression=cfg.sinks.compression)
+        from ..sources.tableio import stage_compression
+
+        io = TableIO(
+            cfg.sinks.root,
+            compression=cfg.sinks.compression or stage_compression("RESULT"),
+        )
         # rules evaluate over the INPUT entity frame (pre-filter), like
         # the reference's rule engine over entity tables — the kept output
         # no longer carries the raw text the quality rules inspect, and
         # the violations a rule should alert on are exactly the rows the
-        # filter dropped
-        if cfg.report.enabled:
-            run_governance(spark, df, rules, io, batch_id=cfg.pipeline.name)
-        else:
-            results = run_rules(rules, df, count_hits=True)
-            try:
-                alerts, assets = emit_from_results(rules, results, cfg.pipeline.name)
-                if alerts is not None:
-                    alerts_b = alerts.withColumn(
-                        "batch_id", F.lit(cfg.pipeline.name)
-                    )
-                    merge_upsert(
-                        spark, io, alerts_b, "alerts", keys=["batch_id", "rule_id"]
-                    )
-                if assets is not None:
-                    assets_b = assets.withColumn(
-                        "batch_id", F.lit(cfg.pipeline.name)
-                    )
-                    merge_upsert(
-                        spark, io, assets_b, "assets",
-                        keys=["batch_id", "rule_id", "asset_id"],
-                    )
-            finally:
-                RuleResult.unpersist_all(results)
+        # filter dropped. report.enabled only gates the report tables;
+        # alert/asset emission always runs.
+        run_governance(
+            spark, df, rules, io,
+            batch_id=cfg.pipeline.name, report=cfg.report.enabled,
+        )
     return kept

@@ -36,14 +36,15 @@ def run_governance(
     batch_id: str = "batch0",
     others: dict[str, DataFrame] | None = None,
     send: Callable[[str, str], None] | None = None,
+    report: bool = True,
 ) -> list[RuleResult]:
     """Evaluate rules, route severities, persist everything, dispatch.
 
     Persisted tables (all idempotent per batch_id):
       alerts        one row per alerting rule (P0 + post-exemption P2)
       assets        one row per P1 hit via field_mapping
-      rule_results  per-rule status/hit_count/duration
-      run_summary   one row, SUCCESS / PARTIAL_FAILURE / FAILED
+      rule_results  per-rule status/hit_count/duration  (report=True)
+      run_summary   one row, SUCCESS / PARTIAL_FAILURE / FAILED (report=True)
     Returns the RuleResults for further wiring.
     """
     results = run_rules(rules, df, others, count_hits=True)
@@ -60,7 +61,8 @@ def run_governance(
             merge_upsert(
                 spark, io, assets_b, "assets", keys=["batch_id", "rule_id", "asset_id"]
             )
-        write_report(spark, io, rules, results, batch_id)
+        if report:
+            write_report(spark, io, rules, results, batch_id)
         if alerts is not None:
             dispatch(alerts, send=send)
     finally:

@@ -60,7 +60,7 @@ def ingest(
         bucketed.repartition(n_partitions, PART_COL)
         .write.mode("overwrite")
         .partitionBy(PART_COL)
-        .option("compression", io.compression)
+        .options(**io.write_options())
         .parquet(f"{io.root}/raw")
     )
     n = spark.read.parquet(f"{io.root}/raw").count()
@@ -185,10 +185,15 @@ def run_resumable(
     n_partitions: int = 8,
     fail_after: int | None = None,
     max_concurrent: int = 4,
-    compression: str = "zstd",
+    compression: str | None = None,
 ) -> DataFrame:
-    """ingest + process all partitions; returns the kept-turns table."""
-    io = TableIO(root, compression=compression)
+    """ingest + process all partitions; returns the kept-turns table.
+    ``compression=None`` resolves through the per-stage env chain
+    (PARQUET_COMPRESSION_RESULT > PARQUET_COMPRESSION > default zstd,
+    sources/tableio.stage_compression)."""
+    from ..sources.tableio import stage_compression
+
+    io = TableIO(root, compression=compression or stage_compression("RESULT"))
     ingest(spark, transcripts, io, n_partitions)
     process_partitions(
         spark, io, cfg, n_partitions, fail_after=fail_after,

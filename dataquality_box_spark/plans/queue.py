@@ -80,17 +80,26 @@ class WorkQueue:
     def enqueue(self, items: dict[str, dict], now: float) -> int:
         """Insert new items as PENDING; ids already queued are left
         untouched (the intake DAG's insert-if-absent contract). The
-        absent-check is a distributed anti join (sources/merge.
-        insert_missing) — never a driver-side id collect, so a long
-        SUCCESS/FAILED history doesn't grow driver memory."""
-        from ..sources.merge import insert_missing
-
+        absent-check is a distributed anti join — never a driver-side id
+        collect, so a long SUCCESS/FAILED history doesn't grow driver
+        memory — and the write goes through the same atomic MERGE
+        staging+swap as every other transition (a crash mid-enqueue
+        leaves the previous queue state intact, never a partial batch)."""
         rows = [
             (iid, json.dumps(payload, sort_keys=True), "PENDING", 0, now, None)
             for iid, payload in sorted(items.items())
         ]
         updates = self.spark.createDataFrame(rows, QUEUE_SCHEMA)
-        return insert_missing(self.spark, self.io, updates, self.table, keys=["item_id"])
+        fresh = updates.join(
+            self._state().select("item_id"), "item_id", "left_anti"
+        ).persist()
+        try:
+            n = fresh.count()
+            if n:
+                merge_upsert(self.spark, self.io, fresh, self.table, keys=["item_id"])
+            return n
+        finally:
+            fresh.unpersist()
 
     def cleanup_zombies(
         self,

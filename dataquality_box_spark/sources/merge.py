@@ -30,9 +30,17 @@ def _atomic_overwrite(df: DataFrame, io: TableIO, table: str) -> None:
     target_dir = f"{io.root}/{table}"
     # unique staging dir per call: two in-flight rewrites of the same
     # table must not overwrite each other's staging output (last
-    # os.replace still wins the swap, but neither sees corrupt partials)
+    # os.replace still wins the swap, but neither sees corrupt partials).
+    # A failed write removes its own staging dir — unique names must not
+    # become an unbounded orphan leak under the data root.
     staging = f"{io.root}/__staging__{table}__{uuid.uuid4().hex}"
-    df.write.mode("overwrite").option("compression", io.compression).parquet(staging)
+    try:
+        df.write.mode("overwrite").options(**io.write_options()).parquet(
+            staging
+        )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     shutil.rmtree(target_dir, ignore_errors=True)
     os.replace(staging, target_dir)
 
@@ -83,7 +91,7 @@ def insert_missing(
         fresh = rows
     n = fresh.count()
     if n:
-        fresh.write.mode("append").option("compression", io.compression).parquet(target_dir)
+        fresh.write.mode("append").options(**io.write_options()).parquet(target_dir)
     return n
 
 

@@ -46,7 +46,20 @@ class TableIO:
     def __init__(self, root: str, catalog: str | None = None, compression: str = "zstd"):
         self.root = root
         self.catalog = catalog  # e.g. "iceberg_cat.db" when the jar exists
-        self.compression = compression
+        # accept the reference's "codec:level" form (e.g. "zstd:5",
+        # io_strategy.py:36): Spark's parquet writer takes the bare codec
+        # in `compression` and the level via the hadoop-parquet property
+        codec, _, level = compression.partition(":")
+        self.compression = codec or "zstd"
+        self.codec_level = int(level) if level else None
+
+    def write_options(self) -> dict[str, str]:
+        out = {"compression": self.compression}
+        if self.codec_level is not None:
+            out[f"parquet.compression.codec.{self.compression}.level"] = str(
+                self.codec_level
+            )
+        return out
 
     def _dir(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -69,7 +82,7 @@ class TableIO:
         (
             df.drop(part_col)
             .write.mode("overwrite")
-            .option("compression", self.compression)
+            .options(**self.write_options())
             .parquet(out)
         )
 
@@ -111,7 +124,7 @@ class TableIO:
         writer = (
             df.write.mode("overwrite")
             .option("path", self._dir(table))
-            .option("compression", self.compression)
+            .options(**self.write_options())
             .bucketBy(n_buckets, bucket_col)
         )
         if sort_cols:

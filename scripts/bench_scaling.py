@@ -110,6 +110,20 @@ def run_levels(corpus: str, runs: int) -> dict[int, dict]:
     return best
 
 
+def _superlinear_note(eff: float) -> str:
+    """Efficiency > 1.0 needs saying out loud: it is a single-thread
+    artifact, not measurement magic."""
+    if eff <= 1.0:
+        return ""
+    return (
+        "Efficiency marginally above 1.0 is a local[1] artifact, not\n"
+        "super-scaling: the single-thread run cannot overlap GC/IO with\n"
+        "compute and pays the whole JVM fixed cost against one core, so\n"
+        "T_1 lands pessimistic relative to 4 x T_4. Treat values near 1.0\n"
+        "as \"effectively linear in the unthrottled-core regime\".\n\n"
+    )
+
+
 def _curve_note(best: dict[int, dict]) -> str:
     """Describe the measured curve shape honestly — derived from the
     numbers, never asserted (the criterion pair is interleaved best-of-N,
@@ -211,6 +225,7 @@ def main() -> None:
             "neighbor CPU-steal bursts (up to ~17%) cap per-thread compute — that\n"
             "measures the host, not the engine. A real 4N-executor cluster adds a\n"
             "memory bus per executor, which local mode cannot emulate.\n\n"
+            + _superlinear_note(report["scaling_efficiency"])
             + _curve_note(best)
             + "\n\n"
             f"Measured {report['measured_at']} on the 32-vCPU sandbox host.\n"

@@ -139,3 +139,20 @@ def test_p1_rules_with_different_field_mappings_union(spark):
     small = pdf[pdf["rule_id"] == "p1_small"]
     assert small["src_turn"].isna().all()
     assert len(pdf) == 4
+
+
+def test_asset_mapping_without_asset_id_rejected(spark):
+    import pytest
+
+    from dataquality_box_spark.operators.alerts import build_assets
+    from dataquality_box_spark.operators.rules import Rule, RuleConfigError
+
+    hits = spark.createDataFrame([("c1", 1)], "conv_id string, turn_idx int")
+    r = Rule(
+        "p1_bad", "P1", {"type": "filter", "expr": "lit(True)"},
+        meta={"asset": {"field_mapping": {"src_turn": "turn_idx"}}},
+    )
+    # a mapping without the MERGE/whitelist key must fail loudly at plan
+    # time, not union as null keys downstream
+    with pytest.raises(RuleConfigError, match="asset_id"):
+        build_assets(r, hits)

@@ -135,4 +135,20 @@ def test_stage_compression_resolution_chain():
     assert stage_compression("RAW", env) == "snappy"
     assert stage_compression("RAW", {}) == "zstd"
     assert stage_compression("UNKNOWN_STAGE", {}) == "zstd"
-    assert for_stage("/tmp/x", "RESULT", env=env).compression == "zstd:5"
+    io = for_stage("/tmp/x", "RESULT", env=env)
+    assert (io.compression, io.codec_level) == ("zstd", 5)
+
+
+def test_codec_level_suffix_maps_to_parquet_level_option(spark, tmp_path):
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path), compression="zstd:5")
+    assert io.compression == "zstd" and io.codec_level == 5
+    assert io.write_options() == {
+        "compression": "zstd",
+        "parquet.compression.codec.zstd.level": "5",
+    }
+    # and the writer actually accepts it
+    df = spark.range(10)
+    io.overwrite_partition(df.withColumn("p", df.id % 2), "t", "p", 0)
+    assert io.read(spark, "t").count() > 0

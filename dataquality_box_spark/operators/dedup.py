@@ -59,15 +59,25 @@ def token_sets(
     ).distinct()
     if df_cap_inv is None:
         return toks
+    hot = hot_token_list(toks, id_col, df_cap_inv)
+    return toks.join(F.broadcast(hot), on="tok", how="left_anti").select(id_col, "tok")
+
+
+def hot_token_list(
+    toks: DataFrame, id_col: str = "doc_id", df_cap_inv: int = 5
+) -> DataFrame:
+    """The DF-cap's hot-token table: tokens in more than 1/``df_cap_inv``
+    of docs. Exposed so the list can be PERSISTED with a corpus index and
+    re-applied to later recrawl batches — both sides of an incremental
+    match must drop the same tokens (one shared cap population)."""
     ndocs = toks.agg(F.countDistinct(id_col).alias("__nd"))
-    hot = (
+    return (
         toks.groupBy("tok")
         .agg(F.count("*").alias("__df"))
         .crossJoin(F.broadcast(ndocs))
         .filter(F.col("__df") * F.lit(df_cap_inv) > F.col("__nd"))
         .select("tok")
     )
-    return toks.join(F.broadcast(hot), on="tok", how="left_anti").select(id_col, "tok")
 
 
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
@@ -161,8 +171,24 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact token-set Jaccard within candidate pairs only."""
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
-    ta = toks.select(F.col(id_col).alias("doc_a"), "tok")
-    tb = toks.select(F.col(id_col).alias("__docb"), F.col("tok").alias("__tokb"))
+    return jaccard_verify_two_sided(cands, toks, toks, sizes, sizes, id_col, threshold)
+
+
+def jaccard_verify_two_sided(
+    cands: DataFrame,
+    toks_a: DataFrame,
+    toks_b: DataFrame,
+    sizes_a: DataFrame,
+    sizes_b: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs whose two sides come from
+    DIFFERENT token stores — the incremental shape, where doc_a tokens are
+    the fresh batch and doc_b tokens/sizes are read from the persisted
+    corpus index (never recomputed)."""
+    ta = toks_a.select(F.col(id_col).alias("doc_a"), "tok")
+    tb = toks_b.select(F.col(id_col).alias("__docb"), F.col("tok").alias("__tokb"))
     inter = (
         cands.join(ta, on="doc_a")
         .join(
@@ -172,8 +198,8 @@ def jaccard_verify(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("__sa"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("__sb"))
+    sa = sizes_a.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("__sa"))
+    sb = sizes_b.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("__sb"))
     jac = F.col("n_common") / (F.col("__sa") + F.col("__sb") - F.col("n_common"))
     return (
         inter.join(sa, on="doc_a")
@@ -355,13 +381,15 @@ def incremental_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Incremental near-dup for recrawls: only the NEW batch's band
-    buckets are probed against the corpus's buckets, and Jaccard is
-    verified on those candidate pairs alone. In production the corpus
-    bucket table persists through TableIO keyed (band_idx, band_key), so
-    a recrawl costs O(new batch) hashing + a bucket join — the corpus is
-    never rescanned (its signatures here are computed inline only for
-    self-containment). Returns (doc_a=new id, doc_b=corpus id, jaccard).
+    """Incremental near-dup for recrawls, SELF-CONTAINED form: only the
+    NEW batch's band buckets are probed against the corpus's buckets, and
+    Jaccard is verified on those candidate pairs alone — but the corpus
+    signatures are recomputed inline here. The production route is
+    ``persist_corpus_index`` + ``incremental_lsh_pairs_stored`` below,
+    where a recrawl costs O(new batch) hashing + bucket joins against the
+    stored index and the corpus is never rescanned. This form exists for
+    the oracle twin (one closed SQL expression) and small one-shot jobs.
+    Returns (doc_a=new id, doc_b=corpus id, jaccard).
 
     The token sets fed in must share one document-frequency cap
     population (pass splits of a single ``token_sets`` output) so both
@@ -373,6 +401,104 @@ def incremental_lsh_pairs(
     cb = band_buckets(minhash_band_signatures(corpus_toks, id_col), id_col).select(
         F.col(id_col).alias("doc_b"), "band_idx", "band_key"
     )
-    cands = nb.join(cb, ["band_idx", "band_key"]).select("doc_a", "doc_b").distinct()
-    toks = new_toks.unionByName(corpus_toks)
+    cands = (
+        nb.join(cb, ["band_idx", "band_key"])
+        # a recrawl re-delivering an existing id must not emit the self-pair
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # distinct: an id present on BOTH sides (typical recrawl) would
+    # otherwise duplicate its (id, tok) rows and inflate sizes/n_common
+    toks = new_toks.unionByName(corpus_toks).distinct()
     return jaccard_verify(cands, toks, id_col, threshold)
+
+
+# --- Persisted corpus LSH index (the production incremental route) --------
+
+
+def persist_corpus_index(
+    spark,
+    io,
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    prefix: str = "lsh_corpus",
+    hot_tokens: DataFrame | None = None,
+) -> None:
+    """Build + persist the corpus's LSH index through TableIO:
+
+      {prefix}_buckets  (id, band_idx, band_key)  — the probe table
+      {prefix}_tokens   (id, tok)                 — for exact verify
+      {prefix}_sizes    (id, sz)                  — |set| per doc
+      {prefix}_hot      (tok)                     — the DF-cap population,
+                                                    if caller provides it
+
+    All four go through MERGE upserts, so the SAME call both creates the
+    index and grows it with a processed batch — re-delivered ids replace
+    their rows (latest crawl wins for the keys written). At 100 TB this is
+    the one-time hashing pass over the corpus; every later recrawl costs
+    O(new batch) hashing plus bucket-equality joins against these tables.
+    Contract: ``toks`` must already be DF-capped with the population whose
+    hot list is persisted alongside (pass both from one ``token_sets`` /
+    ``hot_token_list`` computation).
+    """
+    from ..sources.merge import merge_upsert
+
+    sig = minhash_band_signatures(toks, id_col)
+    merge_upsert(
+        spark, io, band_buckets(sig, id_col), f"{prefix}_buckets",
+        keys=[id_col, "band_idx"],
+    )
+    merge_upsert(spark, io, toks, f"{prefix}_tokens", keys=[id_col, "tok"])
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    merge_upsert(spark, io, sizes, f"{prefix}_sizes", keys=[id_col])
+    if hot_tokens is not None:
+        merge_upsert(spark, io, hot_tokens, f"{prefix}_hot", keys=["tok"])
+
+
+def incremental_lsh_pairs_stored(
+    spark,
+    io,
+    new_toks: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    prefix: str = "lsh_corpus",
+) -> DataFrame:
+    """Recrawl near-dup against the PERSISTED corpus index: only the new
+    batch is tokenized/hashed; candidates come from probing the stored
+    bucket table; exact Jaccard joins new-batch tokens with the STORED
+    corpus token sets and sizes. The corpus source (raw documents) is
+    scanned zero times — plan-asserted in tests. If the index carries a
+    persisted hot-token list, it is re-applied to the new batch so both
+    sides share one DF-cap population (pass new_toks UNCAPPED in that
+    case). Self-pairs from re-delivered ids are excluded; their corpus-
+    side rows reflect the index as of the last ``persist_corpus_index``.
+    Returns (doc_a = new id, doc_b = corpus id, jaccard).
+    """
+    import os
+
+    if os.path.isdir(os.path.join(io.root, f"{prefix}_hot")):
+        hot = io.read(spark, f"{prefix}_hot")
+        new_toks = new_toks.join(F.broadcast(hot), on="tok", how="left_anti")
+    nb = band_buckets(minhash_band_signatures(new_toks, id_col), id_col).select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band_key"
+    )
+    cb = io.read(spark, f"{prefix}_buckets").select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band_key"
+    )
+    cands = (
+        nb.join(cb, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    new_sizes = new_toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    return jaccard_verify_two_sided(
+        cands,
+        new_toks,
+        io.read(spark, f"{prefix}_tokens"),
+        new_sizes,
+        io.read(spark, f"{prefix}_sizes"),
+        id_col,
+        threshold,
+    )

@@ -30,6 +30,10 @@ class LedgerEntry:
     duration_sec: float = 0.0
     batch_id: str = "batch0"
     finished_at: float = 0.0
+    # layout pin: the raw-stage entry records the bucket count the data was
+    # written with; later stages fail loudly on mismatch instead of silently
+    # iterating a different range (absent in pre-pin ledgers -> None)
+    n_partitions: int | None = None
 
 
 class Ledger:

@@ -47,12 +47,26 @@ def ingest(
     n_partitions: int = 8,
     batch_id: str = "batch0",
 ) -> None:
-    """Stage 0: bucket by conv_id into hive partitions (idempotent whole-stage)."""
+    """Stage 0: bucket by conv_id into hive partitions (idempotent whole-stage).
+
+    The bucket count is pinned in the raw ledger entry: a rerun that asks
+    for a different ``n_partitions`` raises instead of silently reusing
+    the old directory layout (downstream would then iterate the wrong
+    ``range(n_partitions)`` and skip buckets). The row count rides the
+    write action via CollectMetrics — no second read of the just-written
+    parquet.
+    """
+    from pyspark.sql import Observation
+
     ledger = Ledger(f"{io.root}/_ledger.jsonl")
+    _check_layout_pin(ledger, n_partitions)
     if "raw" in {e.stage for e in ledger.entries() if e.status == "SUCCESS"}:
         return
     t0 = time.time()
-    bucketed = transcripts.withColumn(
+    obs = Observation("dqx_ingest_rows")
+    bucketed = transcripts.observe(
+        obs, F.count(F.lit(1)).alias("rows_in")
+    ).withColumn(
         PART_COL, F.pmod(F.crc32(F.col("conv_id").cast("binary")), F.lit(n_partitions))
     )
     # one shuffle, partition-dir layout — every downstream stage prunes
@@ -63,11 +77,26 @@ def ingest(
         .options(**io.write_options())
         .parquet(f"{io.root}/raw")
     )
-    n = spark.read.parquet(f"{io.root}/raw").count()
+    n = int(obs.get["rows_in"] or 0)
     ledger.append(
         LedgerEntry("raw", "__all__", "SUCCESS", rows_in=n, duration_sec=time.time() - t0,
-                    batch_id=batch_id)
+                    batch_id=batch_id, n_partitions=n_partitions)
     )
+
+
+def _check_layout_pin(ledger: Ledger, n_partitions: int) -> None:
+    """Raise if a SUCCESS raw entry pinned a different bucket count."""
+    pins = [
+        e.n_partitions
+        for e in ledger.entries()
+        if e.stage == "raw" and e.status == "SUCCESS" and e.n_partitions is not None
+    ]
+    if pins and pins[-1] != n_partitions:
+        raise ValueError(
+            f"partition-layout mismatch: raw stage was ingested with "
+            f"n_partitions={pins[-1]} but this run asked for {n_partitions}; "
+            f"re-ingest into a fresh root (or pass the pinned value)"
+        )
 
 
 def _process_one(
@@ -150,6 +179,7 @@ def process_partitions(
     from concurrent.futures import ThreadPoolExecutor
 
     ledger = Ledger(f"{io.root}/_ledger.jsonl")
+    _check_layout_pin(ledger, n_partitions)
     done = ledger.done("process")
     pending = [k for k in range(n_partitions) if str(k) not in done]
     processed: list[str] = []

@@ -168,6 +168,133 @@ def test_incremental_lsh_only_new_vs_corpus_pairs(spark):
     assert all(j >= 0.8 for j in got.values())
 
 
+def test_incremental_redelivered_id_no_selfpair_no_inflation(spark):
+    """A recrawl that re-delivers an existing doc id: the self-pair must
+    not emit, and the doubled (id, tok) rows must not distort Jaccard for
+    the doc's OTHER pairs (regression for the pre-distinct union)."""
+    from dataquality_box_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        token_sets,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (11, base),  # re-delivered: same id + text on both sides
+        (12, base + " x"),  # corpus near-dup of 11
+        (13, "another distinct document body with its own vocabulary entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = token_sets(docs, df_cap_inv=None)
+    new = toks.where("doc_id = 11")
+    corpus = toks  # corpus still contains 11
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in incremental_lsh_pairs(new, corpus, threshold=0.8).collect()
+    }
+    assert set(got) == {(11, 12)}  # no (11, 11) self-pair
+    # 12 distinct base tokens vs 13 (+' x'): jaccard 12/13 — doubled
+    # token rows from the id overlap would inflate this
+    assert got[(11, 12)] == round(12 / 13, 6)
+
+
+def test_stored_corpus_index_recrawl_never_scans_corpus(spark, tmp_path):
+    """The production incremental route: persist the corpus LSH index
+    once; a recrawl batch probes the STORED tables and must (a) produce
+    the same pairs as the self-contained route and (b) have a plan with
+    zero scans of the corpus documents source."""
+    from dataquality_box_spark.operators.dedup import (
+        hot_token_list,
+        incremental_lsh_pairs,
+        incremental_lsh_pairs_stored,
+        persist_corpus_index,
+        token_sets,
+    )
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    # 'common' is in every doc -> the DF cap (df*2 > 5) drops it and
+    # nothing else; base tokens sit at df=2 and survive
+    corpus_rows = [
+        (11, base + " x common"),
+        (12, base + " x y common"),
+        (13, "another distinct document body with its own vocabulary common"),
+        (14, "more unrelated filler words entirely different lexicon common"),
+        (15, "yet more padding prose completely separate content common"),
+    ]
+    # corpus lives in a parquet source so the plan check has a real path
+    corpus_path = str(tmp_path / "corpus_docs")
+    spark.createDataFrame(corpus_rows, "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    corpus_docs = spark.read.parquet(corpus_path)
+    from pyspark.sql import functions as F
+
+    corpus_toks_uncapped = token_sets(corpus_docs, df_cap_inv=None)
+    hot = hot_token_list(corpus_toks_uncapped, df_cap_inv=2)
+    corpus_toks = corpus_toks_uncapped.join(F.broadcast(hot), "tok", "left_anti")
+
+    io = TableIO(str(tmp_path / "index"))
+    persist_corpus_index(spark, io, corpus_toks, hot_tokens=hot)
+
+    new_docs = spark.createDataFrame([(0, base + " common")], "doc_id long, text string")
+    new_toks_uncapped = token_sets(new_docs, df_cap_inv=None)
+    result = incremental_lsh_pairs_stored(spark, io, new_toks_uncapped, threshold=0.5)
+
+    # (b) the recrawl plan reads ONLY the persisted index, never the corpus
+    files = result.inputFiles()
+    assert files and not any("corpus_docs" in f for f in files)
+    assert any("lsh_corpus_buckets" in f for f in files)
+    assert any("lsh_corpus_tokens" in f for f in files)
+    assert any("lsh_corpus_sizes" in f for f in files)
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in result.collect()}
+    # the persisted hot list was re-applied to the new batch: 'common'
+    # contributes nothing, so jaccard(0,11) = 12 shared / 13 union
+    assert (0, 11) in got and got[(0, 11)] == round(12 / 13, 6)
+    # (a) parity with the self-contained route over the same cap population
+    capped_new = new_toks_uncapped.join(F.broadcast(hot), "tok", "left_anti")
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in incremental_lsh_pairs(
+            capped_new, corpus_toks, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stored_corpus_index_grows_with_batches(spark, tmp_path):
+    """persist_corpus_index called with a processed batch MERGEs it into
+    the index; the next recrawl sees it."""
+    from dataquality_box_spark.operators.dedup import (
+        incremental_lsh_pairs_stored,
+        persist_corpus_index,
+        token_sets,
+    )
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    io = TableIO(str(tmp_path / "index"))
+    corpus = spark.createDataFrame(
+        [(13, "another distinct document body with its own vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    persist_corpus_index(spark, io, token_sets(corpus, df_cap_inv=None))
+
+    batch1 = spark.createDataFrame([(20, base + " x")], "doc_id long, text string")
+    b1_toks = token_sets(batch1, df_cap_inv=None)
+    assert incremental_lsh_pairs_stored(spark, io, b1_toks, threshold=0.8).count() == 0
+    persist_corpus_index(spark, io, b1_toks)  # fold batch 1 into the index
+
+    batch2 = spark.createDataFrame([(30, base)], "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs_stored(
+            spark, io, token_sets(batch2, df_cap_inv=None), threshold=0.8
+        ).collect()
+    }
+    assert got == {(30, 20)}  # batch 2 matches batch 1 via the grown index
+
+
 def test_shingles_on_short_docs_yield_empty_not_crash(spark):
     from dataquality_box_spark.operators.curation import decontaminate
     from dataquality_box_spark.operators.dedup import shingle_sets

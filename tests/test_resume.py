@@ -88,6 +88,42 @@ def test_ledger_metrics_consistent(spark, transcripts_df, tmp_path):
         assert e.status == "SUCCESS" and e.duration_sec > 0
 
 
+def test_layout_mismatch_raises_loudly(spark, transcripts_df, tmp_path):
+    """The raw ledger entry pins n_partitions; re-invoking either stage
+    with a different bucket count must fail, not silently reuse (or skip
+    parts of) the old directory layout."""
+    root = str(tmp_path / "pin")
+    io = TableIO(root)
+    ingest(spark, transcripts_df, io, N_PARTS)
+    with pytest.raises(ValueError, match="partition-layout mismatch"):
+        ingest(spark, transcripts_df, io, N_PARTS + 2)
+    with pytest.raises(ValueError, match="partition-layout mismatch"):
+        process_partitions(spark, io, n_partitions=N_PARTS - 2)
+    # the pinned count still works end-to-end
+    assert len(process_partitions(spark, io, n_partitions=N_PARTS)) == N_PARTS
+
+
+def test_ingest_count_rides_the_write_action(spark, transcripts_df, tmp_path):
+    """rows_in in the raw ledger entry comes from a CollectMetrics
+    observation on the write — correct count, and no separate count job
+    re-reading the just-written parquet (asserted via the job listener)."""
+    from pyspark import SparkContext
+
+    root = str(tmp_path / "obs")
+    io = TableIO(root)
+    sc = SparkContext._active_spark_context
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    ingest(spark, transcripts_df, io, N_PARTS)
+    # capture immediately: the count() below launches its own jobs
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    entry = [e for e in Ledger(f"{root}/_ledger.jsonl").entries() if e.stage == "raw"][0]
+    assert entry.rows_in == transcripts_df.count()
+    assert entry.n_partitions == N_PARTS
+    # ingest runs only the write action (AQE splits it into a shuffle-map
+    # job + a result job = 2); the old re-read-and-count would add a third
+    assert len(after) - len(before) <= 2
+
+
 def test_concurrent_processing_matches_sequential(spark, transcripts_df, tmp_path):
     """max_concurrent > 1 runs partition jobs from a thread pool; the
     per-partition directory outputs and ledger contents must be identical

@@ -67,21 +67,33 @@ def _path_col(template: str, batch_id: str, rule_id: str, mapping: dict[str, str
 
 def _alert_row(rule: Rule, hits: DataFrame, severity: str) -> DataFrame:
     """One aggregate row for a rule's hits: hit_count + sorted, capped
-    trigger-id sample (deterministic — no collect order dependence)."""
+    trigger-id sample (deterministic — no collect order dependence).
+
+    A trigger_id_field absent from the hit frame degrades to a count-only
+    row (empty trigger_ids) instead of escaping an AnalysisException at
+    action time, OUTSIDE evaluate_rule's SKIPPED mapping — one rule's
+    config typo must not fail the whole governance run (mirror of the P2
+    exemption path, which already skips silently when exempt_field is
+    absent)."""
     alert_cfg = rule.meta.get("alert") or {}
     trigger = alert_cfg.get("trigger_id_field", "conv_id")
     title = alert_cfg.get("title", f"[{severity}] data quality - {rule.rule_id}")
+    sample = (
+        F.array_join(
+            F.slice(
+                F.array_sort(F.collect_set(F.col(trigger).cast("string"))),
+                1,
+                SAMPLE_CAP,
+            ),
+            ",",
+        )
+        if trigger in hits.columns
+        else F.first(F.lit(""))
+    )
     return (
         hits.agg(
             F.count("*").alias("hit_count"),
-            F.array_join(
-                F.slice(
-                    F.array_sort(F.collect_set(F.col(trigger).cast("string"))),
-                    1,
-                    SAMPLE_CAP,
-                ),
-                ",",
-            ).alias("trigger_ids"),
+            sample.alias("trigger_ids"),
         )
         .filter(F.col("hit_count") > 0)
         .select(

@@ -113,8 +113,17 @@ def pack_bins_contiguous(
     bin_id = floor(cumsum_before / budget). One window shuffle on the
     shard key; bins may overflow the budget by at most one document
     (the streaming-friendly approximation — no recurrence, pure SQL,
-    identical in any engine). Returns per-bin rollups."""
-    w = Window.partitionBy("shard").orderBy(order_col)
+    identical in any engine). Returns per-bin rollups.
+
+    The frame is explicit ROWS UNBOUNDED PRECEDING..CURRENT: Spark's
+    default for an ordered window is a RANGE frame, which sums ALL peer
+    rows tied on order_col — with a non-unique order_col that diverges
+    from the sequential packing semantics (and from the DuckDB twin)."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum_before = F.sum(tokens_col).over(w) - F.col(tokens_col)
     return (
         df.withColumn("shard", shard_col)

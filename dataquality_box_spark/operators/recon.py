@@ -67,6 +67,15 @@ def asof_nearest_join(
         return best
     # join back on the id key only (null-safe by contract) so unmatched
     # left rows survive with null right columns
+    colliding = [c for c in right.columns if c in left.columns and c != on]
+    if colliding:
+        # enforcing the documented contract by raising, not by silently
+        # dropping the right-side columns from the output
+        raise ValueError(
+            f"asof_nearest_join: right columns {colliding} collide with left "
+            f"columns; rename them (the no-collision contract is enforced, "
+            f"not silently resolved)"
+        )
     right_only = [c for c in right.columns if c not in left.columns]
     return left.join(best.select(left_id, *right_only), on=left_id, how="left")
 

@@ -156,3 +156,16 @@ def test_asset_mapping_without_asset_id_rejected(spark):
     # time, not union as null keys downstream
     with pytest.raises(RuleConfigError, match="asset_id"):
         build_assets(r, hits)
+
+
+def test_missing_trigger_field_degrades_to_count_only(spark):
+    # a trigger_id_field absent from the hit frame must not escape as an
+    # AnalysisException at action time and fail the governance run — it
+    # degrades to a count-only alert row (ADVICE r2)
+    r = _rule("R9", "P0", {"alert": {"trigger_id_field": "no_such_col"}})
+    hits = _hits(spark, ["c1", "c2"])
+    alerts, _ = emit_alerts_and_assets([(r, hits)])
+    row = alerts.collect()[0]
+    assert row["hit_count"] == 2
+    assert row["trigger_ids"] == ""
+    assert row["trigger_id_field"] == "no_such_col"

@@ -87,3 +87,22 @@ def test_pack_contiguous_conserves_docs_and_tokens(spark):
     # overflow bound: a bin exceeds budget by strictly less than one doc
     max_doc = max(t for _, t in rows)
     assert (out["total_tokens"] < 256 + max_doc).all()
+
+
+def test_pack_contiguous_ties_use_rows_frame(spark):
+    # non-unique order_col: Spark's default RANGE frame would sum ALL
+    # peer rows tied on the order value, putting every tied doc in the
+    # same (overflowing) late bin; the explicit ROWS frame fills
+    # sequentially (ADVICE r2)
+    df = spark.createDataFrame(
+        [(i, 0, 60) for i in range(4)], "doc_id long, ord long, n_tokens long"
+    )
+    out = (
+        pack_bins_contiguous(df, F.lit(0), "ord", "n_tokens", budget=100)
+        .toPandas()
+        .sort_values("bin_id")
+    )
+    # 4 docs x 60 tokens, budget 100: sequential fill -> bins of 2+2
+    # (RANGE would yield cum_before=180 for all four -> one bin)
+    assert out["bin_id"].tolist() == [0, 1]
+    assert out["n_docs"].tolist() == [2, 2]

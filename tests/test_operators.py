@@ -296,3 +296,17 @@ def test_sessionize_subsecond_gap_boundary(spark):
         for r in sessionize(df, "user_id", "ts", gap_sec=1800).orderBy("ts").collect()
     ]
     assert got == [1, 2, 2]
+
+
+def test_asof_colliding_right_columns_raise(spark):
+    # the documented no-collision contract is enforced with a loud error,
+    # not by silently dropping the right-side column from the output
+    import pytest
+
+    left, right = _recon_frames(spark)
+    right = right.withColumn("event_ts", F.col("r_ts"))  # collides with left
+    with pytest.raises(ValueError, match="collide"):
+        asof_nearest_join(
+            left, right, "key", "event_ts", "r_ts", 5 * 60_000_000,
+            left_id="id", how="left",
+        )

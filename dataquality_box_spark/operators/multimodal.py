@@ -2,13 +2,26 @@
 
 Spark-side plumbing is real and tested: schema, deterministic synthetic
 payload generation, Arrow-batched ``mapInPandas`` operators with correct
-batch shapes and partitioning. The actual codec work (JPEG decode, audio
-resample, video frame extraction) needs libraries not present in this
-container, so each decode step is STUBBED: behind ``DQX_FAKE_DECODE=1``
-(default in tests) a deterministic fake decoder derives features from the
-payload bytes; without it the operator raises NotImplementedError naming
-the missing dependency. Swapping in Pillow/librosa/pyav changes only the
-inner function — the Spark plan, schema and batching stay identical.
+batch shapes and partitioning.
+
+Codec status (what is REAL vs still FAKE):
+
+  * ``audio/wav``  — REAL decode: stdlib ``wave`` + NumPy (PCM16), 8-dim
+    acoustic feature vector (duration, channels, rate, rms, peak, zero-
+    crossing rate, mean, std). ``synth_wav_bytes`` emits real RIFF/WAV.
+  * ``image/bmp``  — REAL decode: uncompressed 24-bpp BMP parsed with
+    struct + NumPy (header, BGR rows, 4-byte row padding, bottom-up
+    orientation), 8-dim color feature vector. ``synth_bmp_bytes`` emits
+    real BMP bytes.
+  * ``image/jpeg`` / ``video/mp4`` — STILL FAKE: JPEG entropy decode and
+    video frame extraction need Pillow / PyAV, absent in this container.
+    Behind ``DQX_FAKE_DECODE=1`` (default in tests) a deterministic fake
+    derives features from payload bytes; without it the operator raises
+    NotImplementedError naming the missing dependency.
+
+Swapping a real codec in changes only the inner per-mime function — the
+Spark plan, schema and Arrow batching are identical across all three
+states, which is exactly the seam the fake path proves.
 """
 
 from __future__ import annotations
@@ -45,13 +58,74 @@ FEATURE_SCHEMA = (
 _FAKE = os.environ.get("DQX_FAKE_DECODE", "1") == "1"
 
 
+def synth_wav_bytes(
+    freq_hz: float = 440.0, ms: int = 200, rate: int = 8000, amp: float = 0.5,
+    channels: int = 1,
+) -> bytes:
+    """REAL PCM16 WAV bytes: a sine tone via the stdlib ``wave`` writer."""
+    import io
+    import wave
+
+    n = int(rate * ms / 1000)
+    t = np.arange(n, dtype=np.float64) / rate
+    x = (amp * np.sin(2 * np.pi * freq_hz * t) * 32767.0).astype("<i2")
+    if channels > 1:
+        x = np.repeat(x, channels)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def synth_bmp_bytes(width: int = 16, height: int = 12, seed: int = 0) -> bytes:
+    """REAL uncompressed 24-bpp BMP bytes (BITMAPINFOHEADER, bottom-up,
+    4-byte-padded BGR rows) from a seeded pixel field."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+    row_size = (width * 3 + 3) & ~3
+    rows = np.zeros((height, row_size), dtype=np.uint8)
+    rows[:, : width * 3] = rgb[::-1, :, ::-1].reshape(height, width * 3)  # bottom-up BGR
+    pixel_data = rows.tobytes()
+    data_off = 14 + 40
+    file_size = data_off + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + info + pixel_data
+
+
 def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
-    """Deterministic synthetic media table (payload = seeded pseudo-bytes)."""
+    """Deterministic synthetic media table. Audio payloads are REAL WAV
+    bytes and image payloads REAL BMP bytes (both decodable in-container);
+    video payloads are seeded pseudo-bytes behind the fake-decode seam."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[rng.integers(0, 3, n)]
-    mimes = {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}
-    payloads = [rng.integers(0, 256, int(rng.integers(256, 4096))).astype(np.uint8).tobytes()
-                for _ in range(n)]
+    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}
+    widths = rng.integers(4, 32, n)
+    heights = rng.integers(4, 32, n)
+    durations = rng.integers(50, 400, n)
+    payloads = []
+    for i, k in enumerate(kinds):
+        if k == "audio":
+            payloads.append(
+                synth_wav_bytes(
+                    freq_hz=220.0 + (i % 8) * 110.0, ms=int(durations[i]), rate=8000
+                )
+            )
+        elif k == "image":
+            payloads.append(synth_bmp_bytes(int(widths[i]), int(heights[i]), seed=i))
+        else:
+            payloads.append(
+                rng.integers(0, 256, int(rng.integers(256, 4096)))
+                .astype(np.uint8)
+                .tobytes()
+            )
     return pd.DataFrame(
         {
             "media_id": np.arange(n, dtype=np.int64),
@@ -59,23 +133,121 @@ def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
             "kind": kinds,
             "mime": [mimes[k] for k in kinds],
             "payload": payloads,
-            "width": np.where(kinds == "image", rng.integers(64, 2048, n), None),
-            "height": np.where(kinds == "image", rng.integers(64, 2048, n), None),
-            "duration_ms": np.where(kinds != "image", rng.integers(500, 60000, n), None),
+            "width": np.where(kinds == "image", widths, None),
+            "height": np.where(kinds == "image", heights, None),
+            "duration_ms": np.where(kinds != "image", durations, None),
         }
     )
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB: real implementation would be PIL.Image.open(BytesIO(payload)).
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """REAL audio decode: PCM16 WAV via stdlib ``wave`` + NumPy.
+
+    8-dim feature: [duration_s, n_channels, rate/48k, rms, peak, zcr,
+    mean, std] — the per-payload inference the real pipeline would run
+    executor-side inside the same Arrow batch.
+    """
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n, ch, rate, width = (
+            w.getnframes(),
+            w.getnchannels(),
+            w.getframerate(),
+            w.getsampwidth(),
+        )
+        raw = w.readframes(n)
+    if width != 2:
+        raise NotImplementedError("only PCM16 WAV is decoded in-container")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        if x.size > 1
+        else 0.0
+    )
+    return np.array(
+        [
+            n / rate,
+            float(ch),
+            rate / 48000.0,
+            float(np.sqrt(np.mean(np.square(x)))) if x.size else 0.0,
+            float(np.abs(x).max(initial=0.0)),
+            zcr,
+            float(x.mean()) if x.size else 0.0,
+            float(x.std()) if x.size else 0.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode: uncompressed 24-bpp BMP via struct + NumPy
+    (header parse, 4-byte row padding, bottom-up order, BGR->RGB).
+
+    8-dim feature: [w/4096, h/4096, mean_r, mean_g, mean_b, std_gray,
+    min_gray, max_gray] (channel stats normalized to [0, 1]).
+    """
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "only uncompressed 24-bpp BMP is decoded in-container"
+        )
+    h = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_off
+    ).reshape(h, row_size)
+    rgb = rows[:, : width * 3].reshape(h, width, 3)[..., ::-1].astype(np.float32)
+    if height > 0:  # positive height = bottom-up storage
+        rgb = rgb[::-1]
+    gray = rgb.mean(axis=2)
+    return np.array(
+        [
+            width / 4096.0,
+            h / 4096.0,
+            rgb[..., 0].mean() / 255.0,
+            rgb[..., 1].mean() / 255.0,
+            rgb[..., 2].mean() / 255.0,
+            gray.std() / 255.0,
+            gray.min() / 255.0,
+            gray.max() / 255.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def _decode_fake(payload: bytes) -> np.ndarray:
+    """STUB for the still-fake mimes (image/jpeg, video/mp4): real
+    implementations need Pillow / PyAV, absent in this container.
 
     The deterministic fake derives an 8-dim feature from payload bytes so
     tests exercise the full Arrow round-trip with stable values.
     """
     if not _FAKE:
-        raise NotImplementedError("image decode requires Pillow (not in container)")
+        raise NotImplementedError(
+            "jpeg/video decode requires Pillow/PyAV (not in container)"
+        )
     h = hashlib.sha1(payload).digest()
-    return (np.frombuffer(h[:8], dtype=np.uint8).astype(np.float32) / 255.0)
+    return np.frombuffer(h[:8], dtype=np.uint8).astype(np.float32) / 255.0
+
+
+def decode_payload(mime: str, payload: bytes) -> np.ndarray:
+    """Route a payload to its codec: WAV and BMP decode for REAL; the
+    rest go through the declared fake/NotImplementedError seam."""
+    if mime == "audio/wav":
+        return _decode_wav(payload)
+    if mime == "image/bmp":
+        return _decode_bmp(payload)
+    return _decode_fake(payload)
 
 
 def _entropy(payload: bytes) -> float:
@@ -97,7 +269,10 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "payload_sha1": payloads.map(lambda b: hashlib.sha1(b).hexdigest()),
                     "n_bytes": payloads.map(len).astype("int64"),
                     "entropy": payloads.map(_entropy),
-                    "feat": payloads.map(lambda b: _decode_image(b).tolist()),
+                    "feat": [
+                        decode_payload(m, b).tolist()
+                        for m, b in zip(pdf["mime"], payloads)
+                    ],
                 }
             )
 

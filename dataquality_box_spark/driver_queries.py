@@ -1874,7 +1874,7 @@ def stateful_conversation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stream_dir, ignore_errors=True)
 
 
-# IVF-style ANN: K k-means centroids (deterministic first-K seed + 2
+# IVF-style ANN: K k-means centroids (deterministic hash-spread seed + 2
 # Lloyd iterations, all DataFrame ops — operators/ann.py), assign every
 # vector to its nearest centroid by cosine (the inverted-file coarse
 # quantizer), then answer top-k probing ONLY the query's list — the
@@ -1897,10 +1897,13 @@ def _dotd(a: str, b: str) -> str:
 def _ivf_kmeans_sql() -> str:
     """WITH-chain: seed -> iters x (assign -> update) -> final assign."""
     ctes = [
+        # hash-spread seed: the K vectors with smallest md5(id) — matches
+        # operators/ann.seed_centroids (first-K ids are insertion-correlated)
         f"""cen0 AS (
       SELECT vec_id AS centroid_id,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS cen_e
-      FROM embeddings WHERE vec_id < {_IVF_K})""",
+      FROM (SELECT * FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}))""",
         "pos AS (SELECT unnest(range(1, 65)) AS i)",
     ]
     for it in range(_IVF_ITERS + 1):
@@ -1950,7 +1953,7 @@ def _ivf_kmeans_sql() -> str:
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with k-means coarse quantizer (2 Lloyd iterations from the
-    first-K seed) then top-3 cosine search probing only the query's
+    hash-spread seed) then top-3 cosine search probing only the query's
     inverted list. Library: operators/ann.py."""
     from .operators.ann import ivf_kmeans_centroids, ivf_topk
 

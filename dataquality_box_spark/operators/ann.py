@@ -91,24 +91,82 @@ def update_centroids(assign: DataFrame, emb_col: str = "embedding") -> DataFrame
     )
 
 
+def seed_centroids(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    method: str = "hash",
+) -> DataFrame:
+    """Deterministic K seed centroids.
+
+    ``hash`` (default): the K vectors with the smallest md5 of their id —
+    a uniform pseudo-random spread over the corpus regardless of id
+    assignment order. First-K ids are typically insertion-correlated (one
+    crawl shard, one time window), which clusters the seeds and wastes
+    Lloyd iterations pulling them apart; hashing decorrelates them with
+    zero extra passes (a TakeOrdered top-K, not a full sort, and no
+    second scan like distance-weighted k-means++ sampling would need).
+    ``first``: the legacy first-K-ids seed (kept for parity baselines).
+    """
+    if method == "first":
+        seeded = emb.filter(F.col(id_col) < k)
+    else:
+        hk = F.md5(F.col(id_col).cast("string").cast("binary"))
+        seeded = emb.orderBy(hk.asc(), F.col(id_col).asc()).limit(k)
+    return seeded.select(
+        F.col(id_col).alias("centroid_id"),
+        F.transform(F.col(emb_col), lambda x: F.round(x.cast("double"), 4)).alias(
+            "embedding"
+        ),
+    )
+
+
 def ivf_kmeans_centroids(
     emb: DataFrame,
     k: int,
     iters: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    tol: float = 0.0,
+    seed_method: str = "hash",
 ) -> DataFrame:
-    """K centroids after ``iters`` Lloyd iterations from a deterministic
-    seed (the first K vectors by id, rounded like every later centroid)."""
-    cen = emb.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("centroid_id"),
-        F.transform(F.col(emb_col), lambda x: F.round(x.cast("double"), 4)).alias(
-            "embedding"
-        ),
-    )
+    """K centroids after at most ``iters`` Lloyd iterations from a
+    deterministic hash-spread seed (see ``seed_centroids``).
+
+    ``tol`` > 0 enables convergence stopping: iteration ends early once no
+    centroid coordinate moved by >= tol. The movement check joins two
+    K-row frames and collects one scalar — a tiny aggregate per iteration,
+    the same driver-side exception as the digest tables. ``tol=0`` runs
+    exactly ``iters`` iterations (what the fixed-unroll SQL oracle twins
+    encode)."""
+    cen = seed_centroids(emb, k, id_col, emb_col, seed_method)
     for _ in range(iters):
         assign = assign_to_centroids(emb, cen, id_col, emb_col)
-        cen = update_centroids(assign, emb_col)
+        new_cen = update_centroids(assign, emb_col)
+        if tol > 0.0:
+            movement = F.aggregate(
+                F.zip_with(
+                    F.col("o.embedding"),
+                    F.col("n.embedding"),
+                    lambda a, b: F.abs(a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            moved = (
+                cen.alias("o")
+                .join(new_cen.alias("n"), "centroid_id")
+                .agg(F.max(movement).alias("m"))
+                .first()["m"]
+            )
+            cen = new_cen
+            # a vanished centroid (no members) drops out of the join; the
+            # max over survivors is the honest movement bound
+            if moved is None or moved < tol:
+                break
+        else:
+            cen = new_cen
     return cen
 
 

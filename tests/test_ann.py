@@ -34,8 +34,9 @@ def _embeddings(spark):
 
 def test_kmeans_separates_clusters(spark):
     e = _embeddings(spark)
-    # seed = first 2 vectors; both in cluster 0, but one Lloyd step pulls
-    # a centroid to the axis-1 cluster via nearest-assignment majority
+    # hash-spread seed picks ids 6 and 9 here — both in the axis-1
+    # cluster; one Lloyd step still pulls a centroid to the axis-0
+    # cluster via nearest-assignment majority
     cen = ivf_kmeans_centroids(e, k=2, iters=2)
     assign = assign_to_centroids(e, cen).toPandas()
     groups = assign.groupby("centroid_id")["vec_id"].apply(set).to_dict()
@@ -87,3 +88,82 @@ def test_multi_probe_improves_boundary_recall(spark):
     assert len(top2) == 10  # every other vector reachable, no duplicates
     assert set(top2["cand_id"]) == set(range(10))
     assert top2["cand_id"].is_unique
+
+
+def _brute_topk(pdf, query_id, k):
+    import numpy as np
+
+    q = np.array(pdf.set_index("vec_id").loc[query_id, "embedding"])
+    sims = {}
+    for vid, emb in zip(pdf["vec_id"], pdf["embedding"]):
+        if vid == query_id:
+            continue
+        v = np.array(emb)
+        sims[vid] = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+    return {v for v, _ in sorted(sims.items(), key=lambda t: (-t[1], t[0]))[:k]}
+
+
+def test_hash_seed_recall_not_worse_than_first_k(spark):
+    """Adversarial id order: the first K ids all sit in ONE cluster (the
+    insertion-correlated case). Hash-spread seeding must reach recall >=
+    the first-K seed on boundary queries after the same iteration budget."""
+    import pandas as pd
+
+    # ids 0-3 = axis-0 cluster (the first-K trap), 4-11 split over axes 1-2
+    rows = pd.DataFrame(
+        {
+            "vec_id": list(range(12)),
+            "embedding": [_vec(0, i * 0.01) for i in range(4)]
+            + [_vec(1, i * 0.01) for i in range(4)]
+            + [_vec(2, i * 0.01) for i in range(4)],
+        }
+    )
+    e = spark.createDataFrame(rows)
+    pdf = rows
+
+    def recall(seed_method):
+        cen = ivf_kmeans_centroids(e, k=3, iters=1, seed_method=seed_method)
+        got = ivf_topk(e, cen, F.col("vec_id") % 4 == 0, k=3).toPandas()
+        hits = total = 0
+        for qid in (0, 4, 8):
+            truth = _brute_topk(pdf, qid, 3)
+            found = set(got[got["query_id"] == qid]["cand_id"])
+            hits += len(truth & found)
+            total += len(truth)
+        return hits / total
+
+    r_hash, r_first = recall("hash"), recall("first")
+    assert r_hash >= r_first
+    assert r_hash == 1.0  # spread seeds land one per cluster here
+
+
+def test_kmeans_tol_stops_early_and_matches_fixed_iters(spark):
+    """tol > 0: iteration stops once centroids move < tol. Both seeds
+    start in one cluster, so rounds 1-2 move centroids and round 3 is the
+    zero-movement confirmation — a 10-iteration budget runs exactly 3
+    update rounds and yields the same centroids as the fixed 2-iteration
+    run (round 3 changes nothing)."""
+    import dataquality_box_spark.operators.ann as ann
+
+    e = _embeddings(spark)
+    calls = []
+    real_update = ann.update_centroids
+
+    def counting_update(assign, emb_col="embedding"):
+        calls.append(1)
+        return real_update(assign, emb_col)
+
+    fixed = {
+        r["centroid_id"]: r["embedding"]
+        for r in ivf_kmeans_centroids(e, k=2, iters=2, tol=0.0).collect()
+    }
+    ann.update_centroids, n0 = counting_update, len(calls)
+    try:
+        conv = {
+            r["centroid_id"]: r["embedding"]
+            for r in ivf_kmeans_centroids(e, k=2, iters=10, tol=1e-6).collect()
+        }
+    finally:
+        ann.update_centroids = real_update
+    assert len(calls) - n0 == 3  # 2 productive + 1 confirming, not 10
+    assert conv == fixed

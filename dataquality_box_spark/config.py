@@ -62,6 +62,13 @@ class QualityConfig:
     enforce_role_alternation: bool = True
     enforce_tool_chain: bool = True
     enforce_ts_order: bool = True
+    # secondary bucketing for extremely long conversations (SURVEY hard
+    # part #2): conversations are windowed within buckets of this many
+    # turns, with a small tail-merge fixing bucket boundaries, so the
+    # per-task ceiling is the bucket size instead of the longest
+    # conversation. None = plain per-conversation window (the right
+    # default while conversations are bounded).
+    conversation_bucket_turns: int | None = None
     # which reasons actually drop a turn (others are recorded but kept) —
     # the analog of the reference's P0(alert)/P1(asset)/P2(record) severity
     # routing (reference: plugins/operators/aggregator.py:139-147).

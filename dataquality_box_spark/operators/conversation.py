@@ -9,10 +9,12 @@ timestamp ordering over multi-turn transcripts.
 Scale note: this is the ONE stage that requires co-locating each
 conversation (a shuffle on conv_id). Per-turn feature stages are narrow
 and run before it so the shuffle moves already-annotated rows exactly
-once. Window ordering cannot be salted; long-conversation skew is
-bounded because a window over (conv_id) is streamed, not materialized,
-and conversations are ≤ a few thousand turns while partitions hold
-millions — AQE handles residual imbalance for the join/agg stages.
+once. Window ordering cannot be salted; for bounded conversations the
+plain (conv_id) window streams fine and AQE handles residual imbalance.
+For pathological conversation lengths, ``conversation_bucket_turns``
+switches to ``with_conversation_flags_bucketed``: windows keyed
+(conv_id, turn-bucket) + a tiny bucket-tail merge, capping per-task work
+at the bucket size with identical output flags (parity-tested).
 """
 
 from __future__ import annotations
@@ -29,18 +31,10 @@ def conversation_window() -> Window:
     return Window.partitionBy("conv_id").orderBy(*TURN_ORDER)
 
 
-def conversation_flag_columns(cfg: QualityConfig) -> dict[str, Column]:
-    """Boolean flags computed over the conversation window.
-
-    bad_role_sequence — same speaking role (user/assistant) twice in a row
-      (reference analog: consecutive-cycle continuity violation,
-      plugins/dq_lib/consistency.py:96-118).
-    broken_tool_chain — a tool turn not preceded by an assistant/tool turn.
-    out_of_order_ts — timestamp regresses within the conversation.
-    """
-    w = conversation_window()
-    prev_role = F.lag("role").over(w)
-    prev_ts = F.lag("ts").over(w)
+def _flags_from_prev(cfg: QualityConfig, prev_role: Column, prev_ts: Column) -> dict[str, Column]:
+    """The flag formulas over explicit predecessor expressions — shared by
+    the plain window path and the bucketed path (whose predecessors come
+    from a within-bucket lag merged with the previous bucket's tail)."""
     flags: dict[str, Column] = {}
     if cfg.enforce_role_alternation:
         flags["bad_role_sequence"] = (
@@ -55,11 +49,98 @@ def conversation_flag_columns(cfg: QualityConfig) -> dict[str, Column]:
     return {k: F.coalesce(v, F.lit(False)) for k, v in flags.items()}
 
 
+def conversation_flag_columns(cfg: QualityConfig) -> dict[str, Column]:
+    """Boolean flags computed over the conversation window.
+
+    bad_role_sequence — same speaking role (user/assistant) twice in a row
+      (reference analog: consecutive-cycle continuity violation,
+      plugins/dq_lib/consistency.py:96-118).
+    broken_tool_chain — a tool turn not preceded by an assistant/tool turn.
+    out_of_order_ts — timestamp regresses within the conversation.
+    """
+    w = conversation_window()
+    return _flags_from_prev(cfg, F.lag("role").over(w), F.lag("ts").over(w))
+
+
 def with_conversation_flags(df: DataFrame, cfg: QualityConfig) -> DataFrame:
+    if cfg.conversation_bucket_turns:
+        return with_conversation_flags_bucketed(
+            df, cfg, cfg.conversation_bucket_turns
+        )
     out = df
     for name, col in conversation_flag_columns(cfg).items():
         out = out.withColumn(name, col)
     return out
+
+
+def with_conversation_flags_bucketed(
+    df: DataFrame, cfg: QualityConfig, bucket_turns: int
+) -> DataFrame:
+    """Conversation flags with secondary bucketing for extreme skew
+    (SURVEY hard part #2): a window over (conv_id) streams, but one task
+    still owns the WHOLE longest conversation — AQE can split skewed
+    join partitions, not window partitions. Here the window keys are
+    (conv_id, bucket) with bucket = floor(turn_idx / bucket_turns), so
+    the per-task ceiling is bucket_turns rows.
+
+    The lag(1) each flag needs crosses bucket boundaries only at the
+    FIRST row of each bucket; the merge step supplies it from a tiny
+    bucket-tails table (one row per bucket — 1/bucket_turns of the data)
+    lagged per conversation and joined back on (conv_id, bucket). Output
+    flags are identical to the unbucketed path (parity-tested); cost is
+    one extra small shuffle + a join, which is the price of capping the
+    straggler.
+    """
+    staged = df.withColumn(
+        "__cbkt", F.floor(F.col("turn_idx") / F.lit(bucket_turns)).cast("long")
+    )
+    wb = Window.partitionBy("conv_id", "__cbkt").orderBy(*TURN_ORDER)
+    staged = (
+        staged.withColumn("__prev_role_in", F.lag("role").over(wb))
+        .withColumn("__prev_ts_in", F.lag("ts").over(wb))
+        .withColumn("__first_in_bkt", F.row_number().over(wb) == 1)
+    )
+    # bucket tails: the last row of every (conv, bucket) — tiny relative
+    # to the data; lag over buckets handles sparse turn_idx (the previous
+    # NON-EMPTY bucket supplies the tail, not literally bucket-1)
+    wt = Window.partitionBy("conv_id", "__cbkt").orderBy(
+        *[F.col(c).desc() for c in TURN_ORDER]
+    )
+    tails = (
+        staged.withColumn("__rnt", F.row_number().over(wt))
+        .filter(F.col("__rnt") == 1)
+        .select(
+            "conv_id",
+            "__cbkt",
+            F.col("role").alias("__tail_role"),
+            F.col("ts").alias("__tail_ts"),
+        )
+    )
+    wprev = Window.partitionBy("conv_id").orderBy("__cbkt")
+    prev_tails = tails.select(
+        "conv_id",
+        "__cbkt",
+        F.lag("__tail_role").over(wprev).alias("__ptail_role"),
+        F.lag("__tail_ts").over(wprev).alias("__ptail_ts"),
+    )
+    merged = staged.join(prev_tails, on=["conv_id", "__cbkt"], how="left")
+    prev_role = F.when(
+        F.col("__first_in_bkt"), F.col("__ptail_role")
+    ).otherwise(F.col("__prev_role_in"))
+    prev_ts = F.when(F.col("__first_in_bkt"), F.col("__ptail_ts")).otherwise(
+        F.col("__prev_ts_in")
+    )
+    out = merged
+    for name, col in _flags_from_prev(cfg, prev_role, prev_ts).items():
+        out = out.withColumn(name, col)
+    return out.drop(
+        "__cbkt",
+        "__prev_role_in",
+        "__prev_ts_in",
+        "__first_in_bkt",
+        "__ptail_role",
+        "__ptail_ts",
+    )
 
 
 def group_broadcast(df: DataFrame, key: str, aggs: dict[str, Column]) -> DataFrame:

@@ -310,3 +310,87 @@ def test_asof_colliding_right_columns_raise(spark):
             left, right, "key", "event_ts", "r_ts", 5 * 60_000_000,
             left_id="id", how="left",
         )
+
+
+def _long_conv_fixture(spark):
+    """One 10k-turn conversation with planted violations + two small ones."""
+    import pandas as pd
+
+    rows = []
+    base = pd.Timestamp("2024-01-01", tz="UTC")
+    for i in range(10_000):
+        role = ["user", "assistant", "tool"][i % 3]
+        if i % 997 == 0 and i > 0:
+            role = "user" if (i - 1) % 3 == 0 else role  # planted repeats
+        ts = base + pd.Timedelta(seconds=i if i % 1231 else -5)
+        rows.append(("big", i, role, f"text {i}", "t0", ts))
+    for c in ("s1", "s2"):
+        for i in range(5):
+            rows.append((c, i, ["user", "assistant"][i % 2], "hi", None,
+                         base + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_bucketed_conversation_flags_match_unbucketed(spark):
+    """Secondary bucketing (SURVEY hard part #2): flags from the
+    (conv_id, bucket) windows + tail merge must equal the plain
+    per-conversation window on a 10k-turn conversation, including every
+    bucket-boundary row."""
+    from dataquality_box_spark.config import QualityConfig
+    from dataquality_box_spark.operators.conversation import (
+        with_conversation_flags,
+        with_conversation_flags_bucketed,
+    )
+
+    df = _long_conv_fixture(spark)
+    cfg = QualityConfig()
+    cols = ["conv_id", "turn_idx", "bad_role_sequence", "broken_tool_chain",
+            "out_of_order_ts"]
+    plain = (
+        with_conversation_flags(df, cfg)
+        .select(*cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    bucketed = (
+        with_conversation_flags_bucketed(df, cfg, bucket_turns=256)
+        .select(*cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(plain, bucketed)
+    # sanity: the fixture actually plants violations
+    assert plain["bad_role_sequence"].sum() > 0
+    assert plain["out_of_order_ts"].sum() > 0
+
+
+def test_bucketed_flags_window_keys_include_bucket(spark):
+    """Plan shape: the bucketed path's data window partitions on
+    (conv_id, bucket) — the per-task ceiling is the bucket, not the
+    conversation — and the config knob routes to it."""
+    from dataquality_box_spark.config import QualityConfig
+    from dataquality_box_spark.operators.conversation import (
+        with_conversation_flags,
+    )
+
+    df = _long_conv_fixture(spark)
+    cfg = QualityConfig(conversation_bucket_turns=256)
+    plan = (
+        with_conversation_flags(df, cfg)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    # the data window's partition spec is (conv_id, __cbkt, <order...>)
+    assert re.search(
+        r"windowspecdefinition\(conv_id#\d+, __cbkt#\d+L, turn_idx", plan
+    ), plan

@@ -67,6 +67,158 @@ def bench_corpus_path() -> str:
     return path
 
 
+# --- dedup-route scaling evidence (Σ bucket² claim): run the bucketed
+# near-dup operators on the base corpus and on a FACTOR-times corpus with
+# the same duplication RATE, and report the wall-time ratio. Linear
+# growth (ratio ≈ FACTOR) is the bucket-first design working; an
+# all-pairs route would grow ~FACTOR².
+SCALE_FACTOR = int(os.environ.get("DQX_BENCH_SCALE_FACTOR", "10"))
+
+
+def _scaled_paths(spark) -> tuple[str, str]:
+    """Cache FACTOR-times documents/embeddings corpora as parquet.
+
+    Constant duplication rate by construction: doc replicas suffix every
+    token with the replica id (disjoint token spaces -> no cross-replica
+    near-dups, intra-replica structure identical); embedding replicas are
+    sign-flipped by a deterministic per-replica ±1 diagonal (cosine
+    within a replica unchanged — the common flips cancel — while
+    cross-replica cosines decorrelate). So true near-dup pairs scale
+    linearly with the corpus, and any superlinear wall growth is the
+    ENGINE, not the data.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    dpath = os.path.join(cache, f"docs_{tag}_x{SCALE_FACTOR}.parquet")
+    epath = os.path.join(cache, f"emb_{tag}_x{SCALE_FACTOR}.parquet")
+    if not os.path.exists(dpath):
+        base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        parts = [
+            base.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1x{k}").alias("text"),
+            )
+            for k in range(SCALE_FACTOR)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dpath)
+    if not os.path.exists(epath):
+        base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        hi = set("89abcdef")
+        parts = []
+        for k in range(SCALE_FACTOR):
+            signs = F.array(
+                *[
+                    F.lit(
+                        1.0
+                        if hashlib.md5(f"rep{k}#{i}".encode()).hexdigest()[0] in hi
+                        else -1.0
+                    )
+                    for i in range(64)
+                ]
+            )
+            parts.append(
+                base.select(
+                    (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                    F.zip_with(
+                        F.transform("embedding", lambda x: x.cast("double")),
+                        signs,
+                        lambda x, s: (x * s).cast("float"),
+                    ).alias("embedding"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(epath)
+    return dpath, epath
+
+
+def _neardup_ann_over(emb):
+    """The neardup_ann route over an arbitrary embedding frame (same
+    plan as the driver query: map-side sign-LSH bucket, join within
+    buckets, rank-1 per vector)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dataquality_box_spark.driver_queries import _dot_spark, _lsh_bucket_col
+
+    e = emb.withColumn("bucket", _lsh_bucket_col())
+    norm = F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
+    q = e.select("vec_id", "bucket", F.col("embedding").alias("qe"), norm.alias("qn"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("__cb"),
+        F.col("embedding").alias("ce"),
+        norm.alias("cn"),
+    )
+    pairs = q.join(
+        c, (F.col("bucket") == F.col("__cb")) & (F.col("neighbor_id") != F.col("vec_id"))
+    )
+    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", cosine)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "neighbor_id")
+    )
+
+
+def bench_dedup_scaling(spark) -> dict:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dataquality_box_spark.operators.dedup import jaccard_pairs_lsh
+
+    dpath, epath = _scaled_paths(spark)
+
+    def best_of(fn, reps=N_QUERY_REPS):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn().write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        return best
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    docsN = spark.read.parquet(dpath)
+    # df_cap_inv scales with the factor so the per-replica cap population
+    # is identical to the base run (df * (5*N) > N*n_docs <=> df*5 > n_docs)
+    j1 = best_of(lambda: jaccard_pairs_lsh(docs1, threshold=0.8, df_cap_inv=5))
+    jN = best_of(
+        lambda: jaccard_pairs_lsh(docsN, threshold=0.8, df_cap_inv=5 * SCALE_FACTOR)
+    )
+
+    emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    embN = spark.read.parquet(epath)
+    a1 = best_of(lambda: _neardup_ann_over(emb1))
+    aN = best_of(lambda: _neardup_ann_over(embN))
+
+    return {
+        "factor": SCALE_FACTOR,
+        "jaccard_lsh_sec_1x": round(j1, 3),
+        "jaccard_lsh_sec_Nx": round(jN, 3),
+        "jaccard_growth": round(jN / j1, 2),
+        "neardup_ann_sec_1x": round(a1, 3),
+        "neardup_ann_sec_Nx": round(aN, 3),
+        "ann_growth": round(aN / a1, 2),
+        "note": "growth ≈ factor ⇒ linear (bucket-first); all-pairs would be ≈ factor²",
+    }
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -106,6 +258,8 @@ def main() -> None:
             best = min(best, time.time() - t0)
         query_secs[name] = round(best, 3)
 
+    scaling = bench_dedup_scaling(spark)
+
     print(
         json.dumps(
             {
@@ -117,6 +271,7 @@ def main() -> None:
                 "pipeline_sec": round(pipeline_sec, 2),
                 "rows": n_rows,
                 "cpus": CPUS,
+                "dedup_scaling": scaling,
                 "methodology": f"best of {N_PIPELINE_REPS} pipeline runs / {N_QUERY_REPS} per query "
                 "(shared-host steal-burst damping)",
             }

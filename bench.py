@@ -17,6 +17,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -145,16 +146,18 @@ def _scaled_paths(spark) -> tuple[str, str]:
     return dpath, epath
 
 
-def _neardup_ann_over(emb):
+def _neardup_ann_over(emb, n_planes: int = 8):
     """The neardup_ann route over an arbitrary embedding frame (same
     plan as the driver query: map-side sign-LSH bucket, join within
-    buckets, rank-1 per vector)."""
+    buckets, rank-1 per vector). ``n_planes`` scales the bucket space —
+    the production knob that keeps per-bucket occupancy constant as the
+    corpus grows (2^planes buckets; +log2(N) planes at N× corpus)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from dataquality_box_spark.driver_queries import _dot_spark, _lsh_bucket_col
 
-    e = emb.withColumn("bucket", _lsh_bucket_col())
+    e = emb.withColumn("bucket", _lsh_bucket_col(n_planes=n_planes))
     norm = F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
     q = e.select("vec_id", "bucket", F.col("embedding").alias("qe"), norm.alias("qn"))
     c = e.select(
@@ -204,8 +207,13 @@ def bench_dedup_scaling(spark) -> dict:
         "vec_id", "embedding"
     )
     embN = spark.read.parquet(epath)
-    a1 = best_of(lambda: _neardup_ann_over(emb1))
-    aN = best_of(lambda: _neardup_ann_over(embN))
+    a1 = best_of(lambda: _neardup_ann_over(emb1, n_planes=8))
+    # sign-LSH's bucket space is 2^planes, so the N× corpus runs with
+    # +ceil(log2(N)) planes — constant expected bucket occupancy, the
+    # actual production lever (a FIXED bucket space would grow candidate
+    # pairs ~N² per bucket and measure the misconfiguration, not the route)
+    extra = max(1, math.ceil(math.log2(SCALE_FACTOR)))
+    aN = best_of(lambda: _neardup_ann_over(embN, n_planes=8 + extra))
 
     return {
         "factor": SCALE_FACTOR,
@@ -215,7 +223,10 @@ def bench_dedup_scaling(spark) -> dict:
         "neardup_ann_sec_1x": round(a1, 3),
         "neardup_ann_sec_Nx": round(aN, 3),
         "ann_growth": round(aN / a1, 2),
-        "note": "growth ≈ factor ⇒ linear (bucket-first); all-pairs would be ≈ factor²",
+        "ann_planes_1x_Nx": [8, 8 + extra],
+        "note": "growth ≈ factor ⇒ linear (bucket-first; ann bucket space "
+        "scaled with the corpus via +log2(N) hyperplanes); all-pairs would "
+        "be ≈ factor²",
     }
 
 

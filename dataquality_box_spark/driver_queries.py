@@ -1203,12 +1203,16 @@ def _lsh_signs(j: int) -> list[float]:
     ]
 
 
-def _lsh_bucket_col(embedding=None):
-    """8-bit sign-LSH bucket id from md5-derived hyperplanes (the same
-    deterministic planes the DuckDB twin derives)."""
+def _lsh_bucket_col(embedding=None, n_planes: int = 8):
+    """Sign-LSH bucket id from md5-derived hyperplanes (the same
+    deterministic planes the DuckDB twin derives). ``n_planes`` is the
+    bucket-occupancy lever at scale: 2^n_planes buckets, so an N×-larger
+    corpus adds ~log2(N) planes to keep per-bucket candidate work (and
+    thus Σ bucket²/corpus) constant. Driver queries pin 8 (256 buckets
+    for the sf0.01/sf0.1 tables); the scaling bench scales it."""
     embedding = embedding if embedding is not None else F.col("embedding")
     bucket = None
-    for j in range(8):
+    for j in range(n_planes):
         signs = F.array(*[F.lit(s) for s in _lsh_signs(j)])
         prods = F.zip_with(
             F.transform(embedding, lambda x: x.cast("double")),

@@ -5,13 +5,22 @@ explicit delete-before-write idempotency (reference: plugins/infra/
 io_strategy.py:43-120 write/read/clean, plugins/infra/operators.py:335-372
 _clean_partition). Here the same contract is one seam:
 
-  * ``catalog`` mode (real cluster): ``df.writeTo(table).overwritePartitions()``
-    on Iceberg — snapshot-isolated, idempotent per partition.
-  * fallback mode (this sandbox, no Iceberg jar): hive-layout parquet
+  * ``catalog`` mode: named tables under a catalog/database prefix.
+    On a V2 catalog (Iceberg) the write path is
+    ``df.writeTo(table).overwritePartitions()`` — snapshot-isolated,
+    idempotent per partition. V1 session-catalog tables (what this
+    sandbox has) reject the V2 write path, so the same contract runs as
+    dynamic-partition-overwrite ``insertInto`` (INSERT OVERWRITE of
+    exactly the partitions present in the frame); partition DDL goes
+    through ``ALTER TABLE .. DROP PARTITION`` / ``SHOW PARTITIONS``.
+    Catalog mode is exercised for real against the session catalog in
+    tests/test_catalog.py — swapping in Iceberg changes the catalog
+    name, not the code.
+  * fallback mode (no catalog): hive-layout parquet
     ``root/table/<part_col>=<value>/`` written with mode=overwrite, which
     has the same idempotent-replace semantics per partition directory.
 
-All writer call sites go through TableIO so swapping in Iceberg is a
+All writer call sites go through TableIO so the storage backend is a
 constructor argument, not a code change.
 """
 
@@ -67,16 +76,60 @@ class TableIO:
     def _part_dir(self, table: str, part_col: str, value) -> str:
         return os.path.join(self._dir(table), f"{part_col}={value}")
 
+    def _qualified(self, table: str) -> str:
+        return f"{self.catalog}.{table}"
+
+    @staticmethod
+    def _sql_lit(value) -> str:
+        if isinstance(value, str):
+            return "'" + value.replace("'", "''") + "'"
+        return str(value)
+
+    def _ensure_catalog_table(self, df: DataFrame, table: str, part_col: str) -> None:
+        spark = df.sparkSession
+        if not spark.catalog.tableExists(self._qualified(table)):
+            # partition column last (hive layout); empty frame pins schema
+            cols = [c for c in df.columns if c != part_col] + [part_col]
+            (
+                df.select(*cols)
+                .limit(0)
+                .write.partitionBy(part_col)
+                .format("parquet")
+                .options(**self.write_options())
+                .saveAsTable(self._qualified(table))
+            )
+
     def overwrite_partition(
         self, df: DataFrame, table: str, part_col: str, value
     ) -> None:
         """Idempotent partition replace (INSERT OVERWRITE semantics)."""
         if self.catalog:
-            (
-                df.writeTo(f"{self.catalog}.{table}")
-                .option("compression-codec", self.compression)
-                .overwritePartitions()
-            )
+            self._ensure_catalog_table(df, table, part_col)
+            try:
+                # V2 catalogs (Iceberg): snapshot-atomic partition replace
+                (
+                    df.writeTo(self._qualified(table))
+                    .option("compression-codec", self.compression)
+                    .overwritePartitions()
+                )
+            except Exception as ex:  # noqa: BLE001
+                if "v1 table" not in str(ex):
+                    raise
+                # session-catalog (v1) tables reject the V2 write path;
+                # dynamic partition-overwrite insertInto is the same
+                # per-partition replace (only partitions in df rewrite)
+                spark = df.sparkSession
+                prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                try:
+                    cols = spark.table(self._qualified(table)).columns
+                    df.select(*cols).write.mode("overwrite").insertInto(
+                        self._qualified(table)
+                    )
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
             return
         out = self._part_dir(table, part_col, value)
         (
@@ -88,20 +141,28 @@ class TableIO:
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if self.catalog:
-            return spark.read.table(f"{self.catalog}.{table}")
+            return spark.read.table(self._qualified(table))
         return spark.read.option("basePath", self._dir(table)).parquet(self._dir(table))
 
     def read_partition(self, spark: SparkSession, table: str, part_col: str, value) -> DataFrame:
         if self.catalog:
+            # the equality filter prunes to the partition on both v1
+            # (hive-style pruning) and v2 (partition transforms) tables
             return (
-                spark.read.table(f"{self.catalog}.{table}").filter(F.col(part_col) == value)
+                spark.read.table(self._qualified(table)).filter(F.col(part_col) == value)
             )
         # directory-level read == partition pruning in the fallback
         return spark.read.parquet(self._part_dir(table, part_col, value))
 
-    def drop_partition(self, table: str, part_col: str, value) -> None:
+    def drop_partition(self, table: str, part_col: str, value, spark=None) -> None:
         if self.catalog:
-            raise NotImplementedError("use overwritePartitions on catalog tables")
+            if spark is None:
+                raise ValueError("catalog mode needs the SparkSession for DDL")
+            spark.sql(
+                f"ALTER TABLE {self._qualified(table)} DROP IF EXISTS "
+                f"PARTITION ({part_col}={self._sql_lit(value)})"
+            )
+            return
         shutil.rmtree(self._part_dir(table, part_col, value), ignore_errors=True)
 
     def write_bucketed(
@@ -121,21 +182,28 @@ class TableIO:
         (reference: fixed 10-vehicle shards, dags/reconciliation_worker_
         dag.py:56-63). Registered in the session catalog; files live
         under the TableIO root."""
-        writer = (
-            df.write.mode("overwrite")
-            .option("path", self._dir(table))
-            .options(**self.write_options())
-            .bucketBy(n_buckets, bucket_col)
-        )
+        writer = df.write.mode("overwrite").options(**self.write_options())
+        if not self.catalog:
+            # unqualified name in the session catalog, files under root
+            writer = writer.option("path", self._dir(table))
+        writer = writer.bucketBy(n_buckets, bucket_col)
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
-        writer.format("parquet").saveAsTable(table)
+        writer.format("parquet").saveAsTable(
+            self._qualified(table) if self.catalog else table
+        )
 
-    def partition_exists(self, table: str, part_col: str, value) -> bool:
+    def partition_exists(self, table: str, part_col: str, value, spark=None) -> bool:
         if self.catalog:
-            raise NotImplementedError(
-                "catalog tables: query partition metadata (SHOW PARTITIONS)"
-            )
+            if spark is None:
+                raise ValueError("catalog mode needs the SparkSession for DDL")
+            if not spark.catalog.tableExists(self._qualified(table)):
+                return False
+            rows = spark.sql(
+                f"SHOW PARTITIONS {self._qualified(table)} "
+                f"PARTITION ({part_col}={self._sql_lit(value)})"
+            ).collect()
+            return len(rows) > 0
         d = self._part_dir(table, part_col, value)
         return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
 

@@ -18,10 +18,13 @@ dags/reconciliation_worker_dag.py:39-41) — there is exactly one claimer
 at a time. This implementation keeps that single-scheduler contract
 explicit: transitions are keyed MERGEs through
 ``sources/merge.merge_upsert`` (crash-safe and idempotently replayable),
-but the parquet fallback has NO cross-process conflict detection — two
-concurrent claimers could both flip the same PENDING rows. On Iceberg
-the same MERGE gets optimistic concurrency for free (competing commits
-conflict; one retries), which is the multi-scheduler upgrade path.
+and the parquet fallback detects cross-process conflicts with an
+advisory O_CREAT|O_EXCL lockfile held across each mutating transition:
+a second concurrent mutator gets a loud ``QueueConcurrencyError``
+instead of silently double-claiming the same PENDING rows (a stale lock
+from a crashed holder is broken after ``LOCK_STALE_SEC``). On Iceberg
+the same MERGE gets optimistic concurrency natively (competing commits
+conflict; one retries), which remains the multi-scheduler upgrade path.
 ``now`` is injected everywhere (deterministic tests, backfill replays).
 Claim order is deterministic: (updated_at, item_id) oldest first.
 
@@ -45,6 +48,14 @@ CLAIM_BATCH = 50
 ZOMBIE_TIMEOUT_SEC = 2 * 3600
 MAX_RETRIES = 3
 BACKLOG_ALERT_THRESHOLD = 500
+# a mutation lock older than this is a crashed holder: break it
+LOCK_STALE_SEC = 60.0
+
+
+class QueueConcurrencyError(RuntimeError):
+    """Another process holds the queue's mutation lock — the parquet
+    fallback's loud stand-in for Iceberg's optimistic-commit conflict."""
+
 
 QUEUE_SCHEMA = T.StructType(
     [
@@ -73,6 +84,50 @@ class WorkQueue:
             return self.spark.createDataFrame([], QUEUE_SCHEMA)
         return self.io.read(self.spark, self.table)
 
+    def _mutex(self, stale_sec: float = LOCK_STALE_SEC):
+        """Advisory cross-process lock for a mutating transition.
+
+        O_CREAT|O_EXCL is atomic on a local/posix filesystem; a fresh
+        lock held by someone else raises QueueConcurrencyError (detect,
+        don't silently serialize — the caller decides whether to retry),
+        while a lock older than ``stale_sec`` is a crashed holder and is
+        broken. Wall-clock here is infrastructure, not domain time — the
+        injected ``now`` clock stays test-deterministic."""
+        import contextlib
+        import os
+        import time as _time
+
+        @contextlib.contextmanager
+        def guard():
+            lock = f"{self.io.root}/{self.table}.lock"
+            os.makedirs(self.io.root, exist_ok=True)
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(os.getpid()).encode())
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        age = _time.time() - os.path.getmtime(lock)
+                    except FileNotFoundError:
+                        continue  # holder released between open and stat
+                    if age > stale_sec:
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(lock)  # break the crashed holder's lock
+                        continue
+                    raise QueueConcurrencyError(
+                        f"queue '{self.table}' is being mutated by another "
+                        f"process (lock age {age:.1f}s); retry after it commits"
+                    ) from None
+            try:
+                yield
+            finally:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(lock)
+
+        return guard()
+
     def _merge(self, rows: list[tuple]) -> None:
         updates = self.spark.createDataFrame(rows, QUEUE_SCHEMA)
         merge_upsert(self.spark, self.io, updates, self.table, keys=["item_id"])
@@ -89,17 +144,20 @@ class WorkQueue:
             (iid, json.dumps(payload, sort_keys=True), "PENDING", 0, now, None)
             for iid, payload in sorted(items.items())
         ]
-        updates = self.spark.createDataFrame(rows, QUEUE_SCHEMA)
-        fresh = updates.join(
-            self._state().select("item_id"), "item_id", "left_anti"
-        ).persist()
-        try:
-            n = fresh.count()
-            if n:
-                merge_upsert(self.spark, self.io, fresh, self.table, keys=["item_id"])
-            return n
-        finally:
-            fresh.unpersist()
+        with self._mutex():
+            updates = self.spark.createDataFrame(rows, QUEUE_SCHEMA)
+            fresh = updates.join(
+                self._state().select("item_id"), "item_id", "left_anti"
+            ).persist()
+            try:
+                n = fresh.count()
+                if n:
+                    merge_upsert(
+                        self.spark, self.io, fresh, self.table, keys=["item_id"]
+                    )
+                return n
+            finally:
+                fresh.unpersist()
 
     def cleanup_zombies(
         self,
@@ -110,47 +168,50 @@ class WorkQueue:
         """Requeue timed-out active items (retry budget left) or abandon
         them (budget exhausted) — asset_packing_dag.py:45-98."""
         cutoff = now - timeout_sec
-        zombies = (
-            self._state()
-            .where(F.col("status").isin(*_ACTIVE) & (F.col("updated_at") < cutoff))
-            .collect()
-        )
-        reset, abandoned = [], []
-        for z in zombies:
-            if z["retry_count"] < max_retries:
-                reset.append(
-                    (z["item_id"], z["payload"], "PENDING",
-                     z["retry_count"] + 1, now, z["error"])
-                )
-            else:
-                abandoned.append(
-                    (z["item_id"], z["payload"], "ABANDONED",
-                     z["retry_count"], now, "max retries exceeded")
-                )
-        if reset or abandoned:
-            self._merge(reset + abandoned)
+        with self._mutex():
+            zombies = (
+                self._state()
+                .where(F.col("status").isin(*_ACTIVE) & (F.col("updated_at") < cutoff))
+                .collect()
+            )
+            reset, abandoned = [], []
+            for z in zombies:
+                if z["retry_count"] < max_retries:
+                    reset.append(
+                        (z["item_id"], z["payload"], "PENDING",
+                         z["retry_count"] + 1, now, z["error"])
+                    )
+                else:
+                    abandoned.append(
+                        (z["item_id"], z["payload"], "ABANDONED",
+                         z["retry_count"], now, "max retries exceeded")
+                    )
+            if reset or abandoned:
+                self._merge(reset + abandoned)
         return {"reset": len(reset), "abandoned": len(abandoned)}
 
     def claim(self, now: float, batch: int = CLAIM_BATCH) -> list[dict]:
         """Oldest PENDING items (deterministic order), flipped to
-        PROCESSING in one MERGE commit (asset_packing_dag.py:105-180).
-        Single-scheduler contract — see the module docstring; Iceberg's
-        optimistic MERGE is the multi-claimer upgrade path."""
-        pending = (
-            self._state()
-            .where(F.col("status") == "PENDING")
-            .orderBy("updated_at", "item_id")
-            .limit(batch)
-            .collect()
-        )
-        if pending:
-            self._merge(
-                [
-                    (r["item_id"], r["payload"], "PROCESSING",
-                     r["retry_count"], now, r["error"])
-                    for r in pending
-                ]
+        PROCESSING in one MERGE commit (asset_packing_dag.py:105-180),
+        under the cross-process mutation lock — a concurrent claimer
+        raises QueueConcurrencyError instead of double-claiming; Iceberg's
+        optimistic MERGE is the native multi-claimer upgrade path."""
+        with self._mutex():
+            pending = (
+                self._state()
+                .where(F.col("status") == "PENDING")
+                .orderBy("updated_at", "item_id")
+                .limit(batch)
+                .collect()
             )
+            if pending:
+                self._merge(
+                    [
+                        (r["item_id"], r["payload"], "PROCESSING",
+                         r["retry_count"], now, r["error"])
+                        for r in pending
+                    ]
+                )
         return [
             {"item_id": r["item_id"], "payload": json.loads(r["payload"] or "{}"),
              "retry_count": r["retry_count"]}
@@ -161,12 +222,15 @@ class WorkQueue:
         self, item_id: str, ok: bool, now: float, error: str | None = None
     ) -> None:
         """Terminal transition for one item (asset_packing_dag.py:254-301)."""
-        cur = self._state().where(F.col("item_id") == item_id).collect()
-        if not cur:
-            raise KeyError(f"unknown queue item: {item_id}")
-        r = cur[0]
-        status = "SUCCESS" if ok else "FAILED"
-        self._merge([(item_id, r["payload"], status, r["retry_count"], now, error)])
+        with self._mutex():
+            cur = self._state().where(F.col("item_id") == item_id).collect()
+            if not cur:
+                raise KeyError(f"unknown queue item: {item_id}")
+            r = cur[0]
+            status = "SUCCESS" if ok else "FAILED"
+            self._merge(
+                [(item_id, r["payload"], status, r["retry_count"], now, error)]
+            )
 
     def backlog(self) -> int:
         return self._state().where(F.col("status") == "PENDING").count()

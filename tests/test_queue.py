@@ -69,3 +69,35 @@ def test_complete_and_backlog_alert(q):
     assert q.backlog_alert(threshold=2) and not q.backlog_alert(threshold=3)
     with pytest.raises(KeyError):
         q.complete("nope", ok=True, now=3.0)
+
+
+def test_concurrent_mutator_detected_and_stale_lock_broken(spark, tmp_path):
+    """Parquet-fallback conflict detection: a fresh foreign lock makes
+    mutations raise QueueConcurrencyError (no silent double-claim); a
+    stale lock (crashed holder) is broken and the claim proceeds."""
+    import os
+    import time
+
+    import pytest
+
+    from dataquality_box_spark.plans.queue import QueueConcurrencyError, WorkQueue
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    q = WorkQueue(spark, io)
+    q.enqueue({"a": {"x": 1}, "b": {"x": 2}}, now=1000.0)
+
+    lock = f"{io.root}/work_queue.lock"
+    with open(lock, "w") as f:
+        f.write("99999")  # another process holds the lock
+    with pytest.raises(QueueConcurrencyError, match="another"):
+        q.claim(now=1001.0)
+    # queue state unchanged by the refused claim
+    assert q.backlog() == 2
+
+    # crashed holder: age the lock past LOCK_STALE_SEC -> broken, claim works
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+    got = q.claim(now=1002.0)
+    assert [g["item_id"] for g in got] == ["a", "b"]
+    assert not os.path.exists(lock)  # released after the commit

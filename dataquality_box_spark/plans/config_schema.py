@@ -89,6 +89,7 @@ class QualityOverrides(_Strict):
     enforce_role_alternation: bool | None = None
     enforce_tool_chain: bool | None = None
     enforce_ts_order: bool | None = None
+    conversation_bucket_turns: int | None = Field(default=None, ge=2)
     dropping_reasons: list[str] | None = None
 
     def to_quality_config(self) -> QualityConfig:

@@ -119,3 +119,20 @@ def test_run_from_config_honors_rules_dir_and_report(spark, transcripts_df, tmp_
     # rules evaluate over the INPUT entity (which carries raw text) —
     # most fixture rules must actually run, not skip on missing columns
     assert rr.filter("status = 'SUCCESS'").count() >= 8
+
+
+def test_conversation_bucket_knob_flows_to_quality_config(tmp_path):
+    cfg = load_pipeline_config(
+        _write(
+            tmp_path,
+            {**VALID, "quality": {"conversation_bucket_turns": 512}},
+        )
+    )
+    assert cfg.quality.to_quality_config().conversation_bucket_turns == 512
+    with pytest.raises(ValidationError):
+        load_pipeline_config(
+            _write(
+                tmp_path,
+                {**VALID, "quality": {"conversation_bucket_turns": 1}},
+            )
+        )

@@ -203,3 +203,32 @@ def test_hash_sample_is_narrow(spark):
     df = spark.createDataFrame([(i, "en") for i in range(50)], "id long, lang string")
     plan = _plan(hash_sample(df, "id", 0.5, strata_rates={"en": 0.1}, strata_col="lang"))
     assert "Exchange" not in plan, plan
+
+
+def test_incremental_stored_route_has_no_cartesian(spark, tmp_path):
+    """The recrawl probe against the persisted index must stay
+    bucket-equi-joined end to end — no cartesian, and the candidate join
+    carries (band_idx, band_key)."""
+    import pandas as pd
+
+    from dataquality_box_spark.operators.dedup import (
+        incremental_lsh_pairs_stored,
+        persist_corpus_index,
+        token_sets,
+    )
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path / "idx"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b d"]})
+    )
+    persist_corpus_index(spark, io, token_sets(corpus, df_cap_inv=None))
+    new = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["a b c"]}))
+    plan = _plan(
+        incremental_lsh_pairs_stored(
+            spark, io, token_sets(new, df_cap_inv=None), threshold=0.5
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_idx" in plan and "band_key" in plan, plan

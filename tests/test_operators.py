@@ -394,3 +394,45 @@ def test_bucketed_flags_window_keys_include_bucket(spark):
     assert re.search(
         r"windowspecdefinition\(conv_id#\d+, __cbkt#\d+L, turn_idx", plan
     ), plan
+
+
+def test_bucketed_flags_handle_sparse_turn_idx(spark):
+    """Sparse turn indices leave EMPTY buckets between occupied ones; the
+    tail merge must supply each bucket's predecessor from the previous
+    NON-EMPTY bucket (lag over the tails table), not literally bucket-1."""
+    import pandas as pd
+
+    from dataquality_box_spark.config import QualityConfig
+    from dataquality_box_spark.operators.conversation import (
+        with_conversation_flags,
+        with_conversation_flags_bucketed,
+    )
+
+    base = pd.Timestamp("2024-01-01", tz="UTC")
+    # buckets of 256: idx 0,5,6 -> bucket 0; 300,301 -> 1; 1000 -> 3
+    # (bucket 2 empty); planted repeat at 300 vs 6, regress at 1000
+    rows = [
+        ("c", 0, "user", "a", None, base),
+        ("c", 5, "assistant", "b", None, base + pd.Timedelta(seconds=5)),
+        ("c", 6, "user", "c", None, base + pd.Timedelta(seconds=6)),
+        ("c", 300, "user", "d", None, base + pd.Timedelta(seconds=300)),
+        ("c", 301, "assistant", "e", None, base + pd.Timedelta(seconds=301)),
+        ("c", 1000, "user", "f", None, base - pd.Timedelta(seconds=10)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    )
+    cfg = QualityConfig()
+    cols = ["turn_idx", "bad_role_sequence", "out_of_order_ts"]
+    plain = (
+        with_conversation_flags(df, cfg).select(*cols).toPandas()
+        .sort_values("turn_idx").reset_index(drop=True)
+    )
+    bucketed = (
+        with_conversation_flags_bucketed(df, cfg, bucket_turns=256)
+        .select(*cols).toPandas().sort_values("turn_idx").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, bucketed)
+    by_idx = plain.set_index("turn_idx")
+    assert bool(by_idx.loc[300, "bad_role_sequence"])  # cross-boundary repeat
+    assert bool(by_idx.loc[1000, "out_of_order_ts"])  # across the empty bucket

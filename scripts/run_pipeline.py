@@ -37,6 +37,13 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--gen-conversations", type=int, default=0)
     ap.add_argument("--repartition", type=int, default=0)
+    ap.add_argument(
+        "--bucket-turns",
+        type=int,
+        default=0,
+        help="secondary bucketing for extreme-length conversations "
+        "(0 = plain per-conversation window)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("dqx-filter-scrub").getOrCreate()
@@ -52,8 +59,15 @@ def main() -> None:
         write_transcripts_parquet(inp, args.gen_conversations)
 
     df = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(inp)
+    cfg = DEFAULT_CONFIG
+    if args.bucket_turns:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, conversation_bucket_turns=args.bucket_turns
+        )
     t0 = time.time()
-    result = run_pipeline(df, DEFAULT_CONFIG, repartition_to=args.repartition or None)
+    result = run_pipeline(df, cfg, repartition_to=args.repartition or None)
     kept = kept_turns(result)
     kept.write.mode("overwrite").parquet(os.path.join(args.output, "kept"))
     metrics = drop_reason_metrics(result)

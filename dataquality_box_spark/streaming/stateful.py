@@ -96,6 +96,76 @@ def final_totals(updates: DataFrame) -> DataFrame:
     )
 
 
+FLAGGED_TURNS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, bad_role_sequence boolean, broken_tool_chain boolean, "
+    "out_of_order_ts boolean"
+)
+FLAG_STATE_SCHEMA = "last_role string, last_ts_us long"
+
+
+def flag_turns_with_state(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-TURN conversation flags across micro-batches: the streaming
+    twin of the batch ``lag`` window. State carries exactly the boundary
+    row (last role + last ts) each conversation needs; everything else is
+    vectorized shift/compare over the batch. Same arrival-order contract
+    as ``update_conversation_state``; all three flags are always
+    computed — which of them DROP is the decision stage's concern
+    (cfg.dropping_reasons), so the stateful operator stays config-free.
+    """
+    (conv_id,) = key
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["turn_idx", "ts"], kind="mergesort"
+    )
+    last_role, last_ts_us = state.get if state.exists else (None, None)
+    roles = pdf["role"].reset_index(drop=True)
+    ts = pd.to_datetime(pdf["ts"]).reset_index(drop=True)
+    prev_role = roles.shift(1)
+    prev_ts = ts.shift(1)
+    if last_role is not None and len(pdf):
+        prev_role.iloc[0] = last_role
+    if last_ts_us is not None and len(pdf):
+        prev_ts.iloc[0] = pd.Timestamp(int(last_ts_us), unit="us")
+
+    bad_role = (roles.isin(_ALTERNATING_ROLES) & (prev_role == roles)).fillna(False)
+    broken_tool = (roles == "tool") & (
+        prev_role.isna() | ~prev_role.isin(["assistant", "tool"])
+    )
+    out_of_order = (ts < prev_ts).fillna(False)
+
+    if len(pdf):
+        state.update(
+            (str(roles.iloc[-1]), int(ts.iloc[-1].value // 1_000))
+        )
+    out = pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": pdf["turn_idx"].reset_index(drop=True),
+            "role": roles,
+            "text": pdf["text"].reset_index(drop=True),
+            "tool": pdf["tool"].reset_index(drop=True),
+            "ts": ts,
+            "bad_role_sequence": bad_role.astype(bool),
+            "broken_tool_chain": broken_tool.astype(bool),
+            "out_of_order_ts": out_of_order.astype(bool),
+        }
+    )
+    yield out
+
+
+def conversation_flags_stateful(turns_stream: DataFrame) -> DataFrame:
+    """Streaming per-turn conversation flags (conv_id-keyed state)."""
+    return turns_stream.groupBy("conv_id").applyInPandasWithState(
+        flag_turns_with_state,
+        outputStructType=FLAGGED_TURNS_SCHEMA,
+        stateStructType=FLAG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_time_ordered_buckets(
     df: DataFrame, out_dir: str, n_buckets: int = 4, order_cols: tuple[str, ...] = ("ts",)
 ) -> str:

@@ -156,3 +156,38 @@ def foreach_batch_upsert(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def full_pipeline_stream(
+    stream: DataFrame, cfg: QualityConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The COMPLETE filter+scrub pipeline as a continuous query — the
+    streaming twin of ``plans.pipeline.run_pipeline``.
+
+    Stage order flips relative to batch (conversation flags FIRST, via
+    the conv_id-keyed stateful operator, then the narrow per-turn
+    stages): the batch window becomes ``applyInPandasWithState`` carrying
+    one boundary row per conversation, and everything downstream —
+    feature flags, the Arrow-batched scorer, decision, scrub — is
+    stateless and identical to batch. Under the tracker's arrival-order
+    contract the output rows equal ``run_pipeline`` exactly
+    (parity-tested per turn in tests/test_streaming.py).
+
+    Note: the stateful stage always emits all three conversation flags;
+    a cfg that disables one of the enforce_* switches diverges from the
+    batch plan only if that reason is also in ``dropping_reasons``
+    (not the shipped configs).
+    """
+    from ..operators.decide import with_decision
+    from ..plans.pipeline import annotate_turns
+    from ..schema import DROP_REASONS
+    from .stateful import conversation_flags_stateful
+
+    conv = conversation_flags_stateful(stream)
+    annotated = annotate_turns(conv, cfg)
+    decided = with_decision(
+        annotated, cfg, {r: r for r in DROP_REASONS if r in annotated.columns}
+    )
+    return decided.withColumn(
+        "scrubbed_text", F.when(F.col("keep"), scrub_text(F.col("text")))
+    )

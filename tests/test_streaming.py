@@ -189,3 +189,45 @@ def test_foreach_batch_upsert_is_idempotent(spark, transcripts_df, tmp_path):
     run("ck2")  # full replay with a fresh checkpoint
     again = io.read(spark, "turns")
     assert again.count() == expected
+
+
+def test_full_streaming_pipeline_matches_batch(
+    spark, transcripts_pdf, transcripts_df, tmp_path
+):
+    """The complete filter+scrub stream (stateful conversation flags +
+    narrow stages) equals the batch pipeline PER TURN — flags, keep and
+    scrubbed text — across multiple micro-batches with cross-batch
+    conversation state."""
+    import pandas as pd
+
+    from dataquality_box_spark.plans.pipeline import run_pipeline
+    from dataquality_box_spark.streaming.stateful import write_time_ordered_buckets
+    from dataquality_box_spark.streaming.stream import full_pipeline_stream
+
+    # arrival contract: per-conversation turn order across files — a
+    # global (turn_idx, conv_id) sort preserves it while interleaving convs
+    d = str(tmp_path / "stream_full")
+    write_time_ordered_buckets(
+        transcripts_df, d, n_buckets=4, order_cols=("turn_idx", "conv_id")
+    )
+    stream = stream_transcripts(spark, d)
+    out = run_stream_to_memory(
+        spark, full_pipeline_stream(stream, DEFAULT_CONFIG), "full_stream_pipe"
+    )
+
+    cols = [
+        "conv_id", "turn_idx", "bad_role_sequence", "broken_tool_chain",
+        "out_of_order_ts", "keep", "scrubbed_text",
+    ]
+    got = (
+        out.select(*cols).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = (
+        run_pipeline(transcripts_df, DEFAULT_CONFIG).select(*cols).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(got) == len(transcripts_pdf)
+    pd.testing.assert_frame_equal(got, want)
+    # state actually crossed batch boundaries: violations exist at all
+    assert want["bad_role_sequence"].sum() > 0

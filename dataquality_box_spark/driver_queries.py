@@ -768,6 +768,59 @@ def transcript_keep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The SAME end-to-end pipeline as a continuous streaming query: the
+# conversation window becomes a conv_id-keyed stateful operator
+# (applyInPandasWithState), everything else identical. Oracle = the
+# batch SQL twin above — per-turn keep/drop_csv/scrubbed_text must hash
+# equal across streaming micro-batches, which is the strongest check a
+# stateful stream can get.
+@_q(
+    "streaming_full_pipeline",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    f AS (SELECT conv_id, turn_idx, text, {_FLAGS_SQL}, {_CONV_FLAGS_SQL}
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)),
+    d AS (SELECT conv_id, turn_idx, text,
+                 COALESCE(too_short, FALSE) AS r1,
+                 COALESCE(too_long, FALSE) AS r2,
+                 COALESCE(high_repetition, FALSE) AS r3,
+                 COALESCE(high_symbol_ratio, FALSE) AS r4,
+                 COALESCE(boilerplate, FALSE) AS r5,
+                 COALESCE(bad_role_sequence, FALSE) AS r6,
+                 COALESCE(broken_tool_chain, FALSE) AS r7,
+                 COALESCE(out_of_order_ts, FALSE) AS r8,
+                 COALESCE(toxicity, FALSE) AS r9
+          FROM f)
+    SELECT conv_id, turn_idx,
+           NOT (r1 OR r2 OR r3 OR r4 OR r5 OR r6 OR r7 OR r8 OR r9) AS keep,
+           CASE WHEN NOT (r1 OR r2 OR r3 OR r4 OR r5 OR r6 OR r7 OR r8 OR r9)
+                THEN {scrub_sql('text')} END AS scrubbed_text
+    FROM d
+    """,
+)
+def streaming_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import write_time_ordered_buckets
+    from .streaming.stream import (
+        full_pipeline_stream,
+        run_stream_to_memory,
+        stream_transcripts,
+    )
+
+    t = transcripts_view(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dqx_stream_full_")
+    # arrival contract: per-conversation turn order across files
+    write_time_ordered_buckets(t, d, n_buckets=4, order_cols=("turn_idx", "conv_id"))
+    out = run_stream_to_memory(
+        spark,
+        full_pipeline_stream(stream_transcripts(spark, d), HEURISTIC_CONFIG),
+        f"stream_full_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select("conv_id", "turn_idx", "keep", "scrubbed_text")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators: dedup / similarity / text analysis
 # (beyond the reference's own inventory, per the build brief).

@@ -146,42 +146,15 @@ def _scaled_paths(spark) -> tuple[str, str]:
     return dpath, epath
 
 
-def _neardup_ann_over(emb, n_planes: int = 8):
-    """The neardup_ann route over an arbitrary embedding frame (same
-    plan as the driver query: map-side sign-LSH bucket, join within
-    buckets, rank-1 per vector). ``n_planes`` scales the bucket space —
-    the production knob that keeps per-bucket occupancy constant as the
-    corpus grows (2^planes buckets; +log2(N) planes at N× corpus)."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
-    from dataquality_box_spark.driver_queries import _dot_spark, _lsh_bucket_col
-
-    e = emb.withColumn("bucket", _lsh_bucket_col(n_planes=n_planes))
-    norm = F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
-    q = e.select("vec_id", "bucket", F.col("embedding").alias("qe"), norm.alias("qn"))
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("bucket").alias("__cb"),
-        F.col("embedding").alias("ce"),
-        norm.alias("cn"),
-    )
-    pairs = q.join(
-        c, (F.col("bucket") == F.col("__cb")) & (F.col("neighbor_id") != F.col("vec_id"))
-    )
-    cosine = _dot_spark(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        pairs.withColumn("cosine", cosine)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "neighbor_id")
-    )
+# the neardup route itself is shared with the driver query
+# (driver_queries.neardup_ann_over) so the scaling evidence measures the
+# exact plan production ships
 
 
 def bench_dedup_scaling(spark) -> dict:
     from pyspark.sql import functions as F  # noqa: F401
 
+    from dataquality_box_spark.driver_queries import neardup_ann_over
     from dataquality_box_spark.operators.dedup import jaccard_pairs_lsh
 
     dpath, epath = _scaled_paths(spark)
@@ -207,13 +180,13 @@ def bench_dedup_scaling(spark) -> dict:
         "vec_id", "embedding"
     )
     embN = spark.read.parquet(epath)
-    a1 = best_of(lambda: _neardup_ann_over(emb1, n_planes=8))
+    a1 = best_of(lambda: neardup_ann_over(emb1, n_planes=8))
     # sign-LSH's bucket space is 2^planes, so the N× corpus runs with
     # +ceil(log2(N)) planes — constant expected bucket occupancy, the
     # actual production lever (a FIXED bucket space would grow candidate
     # pairs ~N² per bucket and measure the misconfiguration, not the route)
     extra = max(1, math.ceil(math.log2(SCALE_FACTOR)))
-    aN = best_of(lambda: _neardup_ann_over(embN, n_planes=8 + extra))
+    aN = best_of(lambda: neardup_ann_over(embN, n_planes=8 + extra))
 
     return {
         "factor": SCALE_FACTOR,

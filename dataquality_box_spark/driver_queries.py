@@ -809,16 +809,24 @@ def streaming_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_transcripts,
     )
 
+    import shutil
+
     t = transcripts_view(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="dqx_stream_full_")
-    # arrival contract: per-conversation turn order across files
-    write_time_ordered_buckets(t, d, n_buckets=4, order_cols=("turn_idx", "conv_id"))
-    out = run_stream_to_memory(
-        spark,
-        full_pipeline_stream(stream_transcripts(spark, d), HEURISTIC_CONFIG),
-        f"stream_full_{uuid.uuid4().hex[:8]}",
-    )
-    return out.select("conv_id", "turn_idx", "keep", "scrubbed_text")
+    try:
+        # arrival contract: per-conversation turn order across files
+        write_time_ordered_buckets(
+            t, d, n_buckets=4, order_cols=("turn_idx", "conv_id")
+        )
+        out = run_stream_to_memory(
+            spark,
+            full_pipeline_stream(stream_transcripts(spark, d), HEURISTIC_CONFIG),
+            f"stream_full_{uuid.uuid4().hex[:8]}",
+        )
+        return out.select("conv_id", "turn_idx", "keep", "scrubbed_text")
+    finally:
+        # the memory sink holds the results; the staged input can go
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1324,11 +1332,20 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_ann_over(_tbl(spark, sf_dir, "embeddings"))
+
+
+def neardup_ann_over(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """The default embedding near-dup route over any (vec_id, embedding)
+    frame — shared by the driver query above and bench.py's scaling
+    evidence so both measure the same plan. ``n_planes`` is the
+    bucket-occupancy lever at scale (2^planes buckets; +log2(N) planes
+    at N× corpus)."""
     from pyspark.sql import Window as W
 
     # norms folded once per VECTOR on each join side (identical values to
     # folding per pair — the oracle's inline form — but 1/3 the work)
-    e = _tbl(spark, sf_dir, "embeddings").withColumn("bucket", _lsh_bucket_col())
+    e = emb.withColumn("bucket", _lsh_bucket_col(n_planes=n_planes))
     norm = F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
     q = e.select("vec_id", "bucket", F.col("embedding").alias("qe"), norm.alias("qn"))
     c = e.select(
@@ -2343,13 +2360,10 @@ def dispatch_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def governance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import tempfile
 
     from .functions.text import text_flag_columns
     from .operators.rules import Rule
-    from .plans.governance import run_governance
-    from .sources.tableio import TableIO
 
     t = transcripts_view(spark, sf_dir)
     flags = text_flag_columns(F.col("text"), HEURISTIC_CONFIG)
@@ -2365,6 +2379,22 @@ def governance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = [Rule.from_dict(d) for d in _EMIT_RULES]
     root = tempfile.mkdtemp(prefix="dqx_gov_lifecycle_")
+    try:
+        return _governance_lifecycle_frame(spark, frame, rules, root)
+    finally:
+        # the returned frame is re-materialized from collected rows (a
+        # per-rule digest, 3 rows) so the temp table root can go
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _governance_lifecycle_frame(spark, frame, rules, root) -> DataFrame:
+    from .plans.governance import run_governance
+    from .sources.tableio import TableIO
+
+    import os
+
     io = TableIO(root)
     run_governance(spark, frame, rules, io, batch_id="batch0")
 
@@ -2397,7 +2427,10 @@ def governance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         out = out.withColumn("n_assets", F.lit(0).cast("long"))
     # run_summary is exactly one row per batch — the cross join broadcasts it
-    return out.crossJoin(F.broadcast(run_status))
+    out = out.crossJoin(F.broadcast(run_status))
+    # materialize NOW (one digest row per rule): the caller deletes the
+    # temp table root this plan reads from as soon as we return
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 # ---------------------------------------------------------------------------

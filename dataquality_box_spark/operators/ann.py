@@ -145,6 +145,12 @@ def ivf_kmeans_centroids(
         assign = assign_to_centroids(emb, cen, id_col, emb_col)
         new_cen = update_centroids(assign, emb_col)
         if tol > 0.0:
+            # materialize the K-row centroid frame: the per-iteration
+            # movement action would otherwise re-execute the ENTIRE
+            # seed->assign->update lineage from scratch each round
+            # (O(iters^2) full-corpus passes), and the caller's final
+            # action would replay it all once more
+            new_cen = new_cen.localCheckpoint(eager=True)
             movement = F.aggregate(
                 F.zip_with(
                     F.col("o.embedding"),

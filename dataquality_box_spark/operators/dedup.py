@@ -434,10 +434,16 @@ def persist_corpus_index(
                                                     if caller provides it
 
     All four go through MERGE upserts, so the SAME call both creates the
-    index and grows it with a processed batch — re-delivered ids replace
-    their rows (latest crawl wins for the keys written). At 100 TB this is
-    the one-time hashing pass over the corpus; every later recrawl costs
-    O(new batch) hashing plus bucket-equality joins against these tables.
+    index and grows it with a processed batch. Re-delivered ids replace
+    their rows WHOLESALE: buckets and tokens are merged keyed on the doc
+    id (not (id, tok)), so a changed recrawled doc's removed tokens are
+    deleted rather than surviving next to the new ones — a stale token
+    row would inflate n_common against the replaced sizes and produce
+    Jaccard values above the true overlap (even > 1). The hot-token list
+    only grows (a token once capped stays capped — conservative for
+    recall, stable for replays). At 100 TB this is the one-time hashing
+    pass over the corpus; every later recrawl costs O(new batch) hashing
+    plus bucket-equality joins against these tables.
     Contract: ``toks`` must already be DF-capped with the population whose
     hot list is persisted alongside (pass both from one ``token_sets`` /
     ``hot_token_list`` computation).
@@ -447,9 +453,9 @@ def persist_corpus_index(
     sig = minhash_band_signatures(toks, id_col)
     merge_upsert(
         spark, io, band_buckets(sig, id_col), f"{prefix}_buckets",
-        keys=[id_col, "band_idx"],
+        keys=[id_col],
     )
-    merge_upsert(spark, io, toks, f"{prefix}_tokens", keys=[id_col, "tok"])
+    merge_upsert(spark, io, toks, f"{prefix}_tokens", keys=[id_col])
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     merge_upsert(spark, io, sizes, f"{prefix}_sizes", keys=[id_col])
     if hot_tokens is not None:

@@ -49,6 +49,16 @@ def asof_nearest_join(
     Ties on |Δt| break by right timestamp, then ``tiebreak`` columns, so
     the match is fully deterministic.
     """
+    colliding = [c for c in right.columns if c in left.columns and c != on]
+    if colliding:
+        # enforcing the documented contract by raising, not by silently
+        # dropping (how='left') or emitting ambiguous duplicate column
+        # names (how='inner')
+        raise ValueError(
+            f"asof_nearest_join: right columns {colliding} collide with left "
+            f"columns; rename them (the no-collision contract is enforced, "
+            f"not silently resolved)"
+        )
     lt = F.col("__lt")
     rt = F.col("__rt")
     lef = left.withColumn("__lt", F.unix_micros(F.col(left_ts).cast("timestamp")))
@@ -67,15 +77,6 @@ def asof_nearest_join(
         return best
     # join back on the id key only (null-safe by contract) so unmatched
     # left rows survive with null right columns
-    colliding = [c for c in right.columns if c in left.columns and c != on]
-    if colliding:
-        # enforcing the documented contract by raising, not by silently
-        # dropping the right-side columns from the output
-        raise ValueError(
-            f"asof_nearest_join: right columns {colliding} collide with left "
-            f"columns; rename them (the no-collision contract is enforced, "
-            f"not silently resolved)"
-        )
     right_only = [c for c in right.columns if c not in left.columns]
     return left.join(best.select(left_id, *right_only), on=left_id, how="left")
 

@@ -48,7 +48,10 @@ CLAIM_BATCH = 50
 ZOMBIE_TIMEOUT_SEC = 2 * 3600
 MAX_RETRIES = 3
 BACKLOG_ALERT_THRESHOLD = 500
-# a mutation lock older than this is a crashed holder: break it
+# a mutation lock older than this is a crashed holder: break it. Live
+# holders HEARTBEAT the lock mtime every LOCK_STALE_SEC/4 from a daemon
+# thread, so a slow-but-alive transition (multi-step Spark jobs can
+# easily exceed any fixed threshold) is never mistaken for a crash.
 LOCK_STALE_SEC = 60.0
 
 
@@ -89,13 +92,21 @@ class WorkQueue:
 
         O_CREAT|O_EXCL is atomic on a local/posix filesystem; a fresh
         lock held by someone else raises QueueConcurrencyError (detect,
-        don't silently serialize — the caller decides whether to retry),
-        while a lock older than ``stale_sec`` is a crashed holder and is
-        broken. Wall-clock here is infrastructure, not domain time — the
-        injected ``now`` clock stays test-deterministic."""
+        don't silently serialize — the caller decides whether to retry).
+        A lock older than ``stale_sec`` is a crashed holder: it is broken
+        by an atomic RENAME to a unique name before deletion, so two
+        waiters that both observe staleness cannot double-break (the
+        rename loser gets FileNotFoundError and loops — it never unlinks
+        the winner's fresh lock). While held, a daemon thread touches the
+        lock mtime every stale_sec/4, so a live holder is never aged into
+        "stale" no matter how long its Spark jobs run. Wall-clock here is
+        infrastructure, not domain time — the injected ``now`` clock
+        stays test-deterministic."""
         import contextlib
         import os
+        import threading
         import time as _time
+        import uuid
 
         @contextlib.contextmanager
         def guard():
@@ -113,16 +124,35 @@ class WorkQueue:
                     except FileNotFoundError:
                         continue  # holder released between open and stat
                     if age > stale_sec:
+                        # atomic break: exactly one waiter wins the rename
+                        # (TOCTOU-safe — the loser never unlinks a fresh
+                        # lock created by the winner after the break)
+                        tomb = f"{lock}.broken.{uuid.uuid4().hex}"
+                        try:
+                            os.rename(lock, tomb)
+                        except FileNotFoundError:
+                            continue  # someone else broke/released it first
                         with contextlib.suppress(FileNotFoundError):
-                            os.unlink(lock)  # break the crashed holder's lock
+                            os.unlink(tomb)
                         continue
                     raise QueueConcurrencyError(
                         f"queue '{self.table}' is being mutated by another "
                         f"process (lock age {age:.1f}s); retry after it commits"
                     ) from None
+            stop = threading.Event()
+
+            def heartbeat() -> None:
+                while not stop.wait(stale_sec / 4):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.utime(lock)
+
+            beat = threading.Thread(target=heartbeat, daemon=True)
+            beat.start()
             try:
                 yield
             finally:
+                stop.set()
+                beat.join(timeout=stale_sec)
                 with contextlib.suppress(FileNotFoundError):
                     os.unlink(lock)
 

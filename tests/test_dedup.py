@@ -312,3 +312,46 @@ def test_shingles_on_short_docs_yield_empty_not_crash(spark):
     # shingles survive short docs end-to-end
     out = decontaminate(sh, sh.limit(0).unionByName(sh)).count()
     assert out >= 0
+
+
+def test_stored_index_redelivery_replaces_tokens_wholesale(spark, tmp_path):
+    """A recrawled doc whose text CHANGED: persist must delete its old
+    token rows, not leave them beside the new ones — stale tokens inflate
+    n_common against the replaced size and can push Jaccard above 1."""
+    from dataquality_box_spark.operators.dedup import (
+        incremental_lsh_pairs_stored,
+        persist_corpus_index,
+        token_sets,
+    )
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path / "idx"))
+    v1 = spark.createDataFrame(
+        [(7, "alpha bravo charlie delta"), (8, "unrelated totally different words")],
+        "doc_id long, text string",
+    )
+    persist_corpus_index(spark, io, token_sets(v1, df_cap_inv=None))
+    # recrawl: doc 7's text changed to {alpha, echo}
+    v2 = spark.createDataFrame([(7, "alpha echo")], "doc_id long, text string")
+    persist_corpus_index(spark, io, token_sets(v2, df_cap_inv=None))
+
+    toks = {
+        (r["doc_id"], r["tok"])
+        for r in io.read(spark, "lsh_corpus_tokens").collect()
+    }
+    assert {t for d, t in toks if d == 7} == {"alpha", "echo"}  # old rows gone
+
+    # a new batch overlapping doc 7's OLD text must get the true jaccard
+    new = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in incremental_lsh_pairs_stored(
+            spark, io, token_sets(new, df_cap_inv=None), threshold=0.01
+        ).collect()
+    }
+    for pair, j in got.items():
+        assert 0.0 <= j <= 1.0, (pair, j)
+    if (100, 7) in got:  # overlap {alpha}: 1/(4+2-1)
+        assert got[(100, 7)] == round(1 / 5, 6)

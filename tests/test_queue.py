@@ -101,3 +101,23 @@ def test_concurrent_mutator_detected_and_stale_lock_broken(spark, tmp_path):
     got = q.claim(now=1002.0)
     assert [g["item_id"] for g in got] == ["a", "b"]
     assert not os.path.exists(lock)  # released after the commit
+
+
+def test_heartbeat_keeps_live_holder_fresh(spark, tmp_path):
+    """A slow-but-ALIVE holder must never be aged into 'stale': the
+    heartbeat thread refreshes the lock mtime, so a waiter arriving well
+    past the stale threshold still sees a fresh lock and raises instead
+    of breaking it (the review's TOCTOU + slow-holder scenarios)."""
+    import time
+
+    import pytest
+
+    from dataquality_box_spark.plans.queue import QueueConcurrencyError, WorkQueue
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    q = WorkQueue(spark, TableIO(str(tmp_path)))
+    with q._mutex(stale_sec=0.3):
+        time.sleep(0.9)  # 3x the stale threshold — heartbeat keeps it fresh
+        with pytest.raises(QueueConcurrencyError):
+            with q._mutex(stale_sec=0.3):
+                pass

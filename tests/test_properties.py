@@ -273,3 +273,60 @@ def test_key_variants_match_python_model(keys):
     }
     for k in keys:
         assert got[k] == _py_variants(k), k
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_codec_roundtrip_any_geometry(w, h, seed):
+    """synth -> decode is exact for any width (every row-padding
+    residue class w%4) and height: channel means/min/max equal the
+    source pixel field to float32 precision."""
+    from dataquality_box_spark.operators.multimodal import (
+        _decode_bmp,
+        synth_bmp_bytes,
+    )
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.float64)
+    # regenerate the same pixels the synth draws (same seed stream)
+    feat = _decode_bmp(synth_bmp_bytes(w, h, seed=seed))
+    assert abs(feat[0] - w / 4096.0) < 1e-6 and abs(feat[1] - h / 4096.0) < 1e-6
+    for k in range(3):
+        assert abs(feat[2 + k] - rgb[..., k].mean() / 255.0) < 1e-5
+    gray = rgb.mean(axis=2)
+    assert abs(feat[6] - gray.min() / 255.0) < 1e-5
+    assert abs(feat[7] - gray.max() / 255.0) < 1e-5
+
+
+@given(
+    freq=st.floats(min_value=20.0, max_value=3000.0),
+    ms=st.integers(min_value=10, max_value=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    amp=st.floats(min_value=0.05, max_value=0.95),
+    channels=st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrip_any_params(freq, ms, rate, amp, channels):
+    """synth -> decode: exact duration/channels/rate, rms within the
+    analytic sine bound, peak <= amp (quantized)."""
+    import math
+
+    from dataquality_box_spark.operators.multimodal import (
+        _decode_wav,
+        synth_wav_bytes,
+    )
+
+    feat = _decode_wav(synth_wav_bytes(freq, ms, rate, amp, channels))
+    n = int(rate * ms / 1000)
+    assert abs(feat[0] - n / rate) < 1e-6
+    assert feat[1] == channels
+    assert abs(feat[2] - rate / 48000.0) < 1e-6
+    # rms of a sine = amp/sqrt(2); short/low-freq clips see partial cycles
+    assert feat[3] <= amp + 1e-3
+    if freq * ms / 1000 >= 5:  # enough full cycles for the bound to bite
+        assert abs(feat[3] - amp / math.sqrt(2)) < 0.15 * amp
+    assert feat[4] <= amp + 1e-3

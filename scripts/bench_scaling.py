@@ -189,6 +189,15 @@ def main() -> None:
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # preserve appendix sections other harnesses append (e.g. the
+    # dedup-route scaling evidence) across rewrites of the curve
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    appendix = ""
+    if os.path.exists(baseline_path):
+        prev = open(baseline_path).read()
+        idx = prev.find("\n## ")
+        if idx >= 0:
+            appendix = prev[idx:]
     rows_tbl = "\n".join(
         f"| local[{c}]{' (N)' if c == N_CORES else ' (4N)' if c == N4_CORES else ''} "
         f"| {r['sec']} | {r['turns_per_sec']:,} |"
@@ -229,6 +238,7 @@ def main() -> None:
             + _curve_note(best)
             + "\n\n"
             f"Measured {report['measured_at']} on the 32-vCPU sandbox host.\n"
+            + appendix
         )
 
 

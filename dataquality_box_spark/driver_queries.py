@@ -1055,6 +1055,33 @@ def dedup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_lsh(d, threshold=0.8, df_cap_inv=5)
 
 
+# Duplicate CLUSTERS + keep-one selection over the LSH pairs: transitive
+# near-dups (A~B, B~C) collapse into one component with one kept
+# representative — the step that turns pairs into an actual corpus dedup
+# decision. Spark side: iterative min-label propagation
+# (operators/dedup.duplicate_clusters); oracle: recursive-CTE reachability.
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_jaccard_lsh_sql()}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.src, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+    SELECT src AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+           MIN(r) = src AS keep
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_clusters, jaccard_pairs_lsh
+
+    d = _tbl(spark, sf_dir, "documents")
+    return duplicate_clusters(jaccard_pairs_lsh(d, threshold=0.8, df_cap_inv=5))
+
+
 # SimHash (16-bit, portable: high bit of each md5 hex nibble)
 _HI_NIBBLE = "('8','9','a','b','c','d','e','f')"
 

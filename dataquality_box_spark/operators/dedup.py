@@ -414,6 +414,80 @@ def incremental_lsh_pairs(
     return jaccard_verify(cands, toks, id_col, threshold)
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id,
+    keep). Pairs alone don't dedup a corpus: transitive duplicates
+    (A~B, B~C) must collapse into ONE cluster with one kept
+    representative, else dropping per-pair either over-deletes (both
+    sides) or keeps near-dups (neither).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label among itself and its neighbors (one join + one
+    groupBy over the EDGE set, which is duplication-rate-sized, not
+    corpus-sized). Converges in O(cluster diameter) rounds; near-dup
+    clusters are star/chain-shaped and tiny, so the default cap of 20 is
+    generous (the loop exits early on a fixpoint — the per-round change
+    count is a scalar action on a localCheckpointed label table, same
+    tiny-aggregate exception as the k-means movement check). cluster_id
+    is the component's min doc id; keep marks the representative
+    (min-id policy — deterministic; swap in quality-ranked selection by
+    relabeling before this step). At extreme scale the same loop upgrades
+    to large-star/small-star (Kiveris et al.) without changing callers.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("__nl")
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__nl").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(
+                nbr_min, labels["doc_id"] == nbr_min["src"], "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("__nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
 # --- Persisted corpus LSH index (the production incremental route) --------
 
 

@@ -355,3 +355,25 @@ def test_stored_index_redelivery_replaces_tokens_wholesale(spark, tmp_path):
         assert 0.0 <= j <= 1.0, (pair, j)
     if (100, 7) in got:  # overlap {alpha}: 1/(4+2-1)
         assert got[(100, 7)] == round(1 / 5, 6)
+
+
+def test_duplicate_clusters_transitive_and_keep_one(spark):
+    """A~B and B~C (no direct A~C pair) must land in ONE cluster with
+    exactly one kept representative; disjoint components stay separate;
+    the loop converges on chain-shaped graphs (worst diameter)."""
+    from dataquality_box_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (worst-case diameter), pair {10, 11}, pair {20, 21}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert {d: c for d, (c, _) in got.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20,
+    }
+    kept = {d for d, (_, k) in got.items() if k}
+    assert kept == {1, 10, 20}  # exactly one representative per cluster

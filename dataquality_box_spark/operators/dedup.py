@@ -488,6 +488,33 @@ def duplicate_clusters(
     )
 
 
+def pick_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Re-select each cluster's kept doc by QUALITY instead of min-id:
+    join a per-doc score (e.g. the doc_quality_score output) and keep the
+    argmax per cluster — the policy real pipelines want (drop the worse
+    copies, not the higher-numbered ones). Ties and missing scores break
+    to the smaller id, so selection stays deterministic. One window over
+    the clustered rows (duplication-rate-sized, not corpus-sized)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col)
+    )
+    joined = clusters.drop("keep").join(
+        quality.select(id_col, score_col), on=id_col, how="left"
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("keep", F.col("__rn") == 1)
+        .drop("__rn", score_col)
+    )
+
+
 # --- Persisted corpus LSH index (the production incremental route) --------
 
 

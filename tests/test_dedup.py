@@ -377,3 +377,27 @@ def test_duplicate_clusters_transitive_and_keep_one(spark):
     }
     kept = {d for d, (_, k) in got.items() if k}
     assert kept == {1, 10, 20}  # exactly one representative per cluster
+
+
+def test_pick_representatives_by_quality(spark):
+    """Quality-ranked keep-one: the cluster keeps its highest-scored doc
+    (ties and missing scores break to the smaller id)."""
+    from dataquality_box_spark.operators.dedup import (
+        duplicate_clusters,
+        pick_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, None), (11, None)],
+        "doc_id long, score double",
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in pick_representatives(
+            duplicate_clusters(pairs), quality
+        ).collect()
+    }
+    assert got == {1: False, 2: True, 3: False, 10: True, 11: False}

@@ -2233,14 +2233,13 @@ _EMIT_RULES = [
 ]
 
 
-def _emission_inputs(spark: SparkSession, sf_dir: str):
+def _emission_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared rule-input frame for the emission/governance queries."""
     from .functions.text import text_flag_columns
-    from .operators.alerts import emit_from_results
-    from .operators.rules import Rule, run_rules
 
     t = transcripts_view(spark, sf_dir)
     flags = text_flag_columns(F.col("text"), HEURISTIC_CONFIG)
-    frame = t.select(
+    return t.select(
         "conv_id",
         "turn_idx",
         "tool",
@@ -2250,6 +2249,13 @@ def _emission_inputs(spark: SparkSession, sf_dir: str):
         flags["toxicity"].alias("toxicity"),
         flags["too_short"].alias("too_short"),
     )
+
+
+def _emission_inputs(spark: SparkSession, sf_dir: str):
+    from .operators.alerts import emit_from_results
+    from .operators.rules import Rule, run_rules
+
+    frame = _emission_frame(spark, sf_dir)
     rules = [Rule.from_dict(d) for d in _EMIT_RULES]
     results = run_rules(rules, frame)
     return emit_from_results(rules, results, batch_id="batch0")
@@ -2389,21 +2395,9 @@ def dispatch_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def governance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from .functions.text import text_flag_columns
     from .operators.rules import Rule
 
-    t = transcripts_view(spark, sf_dir)
-    flags = text_flag_columns(F.col("text"), HEURISTIC_CONFIG)
-    frame = t.select(
-        "conv_id",
-        "turn_idx",
-        "tool",
-        F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")).alias(
-            "turn_uid"
-        ),
-        flags["toxicity"].alias("toxicity"),
-        flags["too_short"].alias("too_short"),
-    )
+    frame = _emission_frame(spark, sf_dir)
     rules = [Rule.from_dict(d) for d in _EMIT_RULES]
     root = tempfile.mkdtemp(prefix="dqx_gov_lifecycle_")
     try:

@@ -401,17 +401,23 @@ def incremental_lsh_pairs(
     cb = band_buckets(minhash_band_signatures(corpus_toks, id_col), id_col).select(
         F.col(id_col).alias("doc_b"), "band_idx", "band_key"
     )
-    cands = (
-        nb.join(cb, ["band_idx", "band_key"])
-        # a recrawl re-delivering an existing id must not emit the self-pair
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = _probe_candidates(nb, cb)
     # distinct: an id present on BOTH sides (typical recrawl) would
     # otherwise duplicate its (id, tok) rows and inflate sizes/n_common
     toks = new_toks.unionByName(corpus_toks).distinct()
     return jaccard_verify(cands, toks, id_col, threshold)
+
+
+def _probe_candidates(nb: DataFrame, cb: DataFrame) -> DataFrame:
+    """New-batch bands probing corpus bands: bucket-equality join only,
+    self-pairs from re-delivered ids excluded (shared by the inline and
+    stored incremental routes)."""
+    return (
+        nb.join(cb, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def duplicate_clusters(
@@ -440,9 +446,16 @@ def duplicate_clusters(
     to large-star/small-star (Kiveris et al.) without changing callers.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # materialize: every iteration joins against edges, and without a
+        # checkpoint each round's action re-derives the WHOLE upstream
+        # pair pipeline (the LSH route) from lineage
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -593,12 +606,7 @@ def incremental_lsh_pairs_stored(
     cb = io.read(spark, f"{prefix}_buckets").select(
         F.col(id_col).alias("doc_b"), "band_idx", "band_key"
     )
-    cands = (
-        nb.join(cb, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = _probe_candidates(nb, cb)
     new_sizes = new_toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     return jaccard_verify_two_sided(
         cands,

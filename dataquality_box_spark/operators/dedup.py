@@ -402,9 +402,15 @@ def incremental_lsh_pairs(
         F.col(id_col).alias("doc_b"), "band_idx", "band_key"
     )
     cands = _probe_candidates(nb, cb)
-    # distinct: an id present on BOTH sides (typical recrawl) would
-    # otherwise duplicate its (id, tok) rows and inflate sizes/n_common
-    toks = new_toks.unionByName(corpus_toks).distinct()
+    # replace-wholesale: for an id delivered on BOTH sides (typical
+    # recrawl) the NEW batch's token set wins outright — a plain
+    # union+distinct would merge old+new tokens for a changed doc,
+    # inflating its size (and n_common for its pairs), skewing Jaccard
+    # low. Same semantics persist_corpus_index documents for the stored
+    # route.
+    new_ids = new_toks.select(id_col).distinct()
+    corpus_only = corpus_toks.join(new_ids, on=id_col, how="left_anti")
+    toks = new_toks.unionByName(corpus_only).distinct()
     return jaccard_verify(cands, toks, id_col, threshold)
 
 
@@ -420,11 +426,38 @@ def _probe_candidates(nb: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+def _with_singletons(
+    labels: DataFrame, all_docs: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Union docs with NO near-dup pair as their own single-member
+    clusters (cluster_id = own id, keep = true). Without this the output
+    contains edge endpoints only — callers who inner-join it against the
+    corpus silently drop every clean document."""
+    out = labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+    if all_docs is None:
+        return out
+    singles = (
+        all_docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(labels.select("doc_id"), on="doc_id", how="left_anti")
+        .select(
+            "doc_id", F.col("doc_id").alias("cluster_id"), F.lit(True).alias("keep")
+        )
+    )
+    return out.unionByName(singles)
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    all_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id,
     keep). Pairs alone don't dedup a corpus: transitive duplicates
@@ -439,11 +472,20 @@ def duplicate_clusters(
     clusters are star/chain-shaped and tiny, so the default cap of 20 is
     generous (the loop exits early on a fixpoint — the per-round change
     count is a scalar action on a localCheckpointed label table, same
-    tiny-aggregate exception as the k-means movement check). cluster_id
-    is the component's min doc id; keep marks the representative
-    (min-id policy — deterministic; swap in quality-ranked selection by
-    relabeling before this step). At extreme scale the same loop upgrades
-    to large-star/small-star (Kiveris et al.) without changing callers.
+    tiny-aggregate exception as the k-means movement check). If the cap
+    is exhausted BEFORE the fixpoint the result would silently split
+    long chains into several clusters (each keeping its own
+    representative, so near-dups survive) — that is an error here, and
+    the raise names ``duplicate_clusters_star``, which converges in
+    O(log n) rounds on exactly those pathological chains.
+
+    Output contract: only edge endpoints appear unless ``all_docs`` is
+    given, in which case pair-free docs are emitted as singleton
+    clusters (cluster_id = own id, keep = true) so joining the output
+    back to the corpus loses nothing. cluster_id is the component's min
+    doc id; keep marks the representative (min-id policy —
+    deterministic; swap in quality-ranked selection via
+    ``pick_representatives``).
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
@@ -462,6 +504,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         nbr_min = (
             edges.join(
@@ -494,11 +537,122 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("keep"),
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in max_iters={max_iters} "
+            "rounds (a duplicate chain longer than the cap would be left "
+            "split, silently keeping near-dups); raise max_iters or use "
+            "duplicate_clusters_star, which needs O(log n) rounds on long "
+            "chains"
+        )
+    return _with_singletons(labels, all_docs, id_col)
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+    all_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same signature and output contract as
+    ``duplicate_clusters``, but convergence is O(log n) ROUNDS even on
+    pathological long chains where min-label propagation needs
+    O(diameter) rounds (a 1k-link chain: ~10 alternations vs ~1000
+    label rounds — asserted in tests).
+
+      * large-star: every node links its LARGER neighbors to the min of
+        its closed neighborhood.
+      * small-star: every node links its smaller-or-equal neighbors (and
+        itself) to that min.
+
+    Each phase is one groupBy + one join over the edge set
+    (duplication-rate-sized); the edge set is localCheckpointed per
+    round so convergence actions never replay upstream lineage. At the
+    fixpoint every component is a star rooted at its min id; labels read
+    off the star edges. ``rounds_out``, if given, receives the number of
+    alternation rounds used (test/telemetry seam)."""
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    # endpoint set fixed up front: star rounds may drop isolated-star
+    # edges' intermediate nodes from the edge list, but every original
+    # endpoint needs a label row at the end
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .unionByName(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # both orientations: (u, v) for every neighbor v of u
+        bi = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = bi.groupBy("src").agg(F.min("dst").alias("__mn"))
+        center_min = F.least(F.col("src"), F.col("__mn"))
+        # connect strictly-larger neighbors to min(closed neighborhood);
+        # m <= u < v so (m, v) is already canonically oriented
+        return (
+            bi.join(m, on="src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(center_min.alias("src"), F.col("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # canonical (src < dst): dst is the center, its smaller
+        # neighbors are the src values; min(closed nbhd) = min(src)
+        m = e.groupBy("dst").agg(F.min("src").alias("__m"))
+        link_nbrs = e.join(m, on="dst").select(
+            F.col("__m").alias("src"), F.col("src").alias("dst")
+        )
+        link_center = m.select(F.col("__m").alias("src"), F.col("dst"))
+        return (
+            link_nbrs.unionByName(link_center)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    rounds = 0
+    for _ in range(max_iters):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        # set equality: same count + empty one-sided difference (both
+        # tiny actions over checkpointed, edge-set-sized frames)
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).isEmpty()
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in {max_iters} rounds"
+        )
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # fixpoint edges form stars (root=min, leaf): root's label is itself
+    leaf_labels = edges.select(
+        F.col("dst").alias("doc_id"), F.col("src").alias("label")
+    )
+    labels = nodes.join(leaf_labels, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
+    )
+    return _with_singletons(labels, all_docs, id_col)
 
 
 def pick_representatives(
@@ -538,6 +692,7 @@ def persist_corpus_index(
     id_col: str = "doc_id",
     prefix: str = "lsh_corpus",
     hot_tokens: DataFrame | None = None,
+    n_buckets: int = 16,
 ) -> None:
     """Build + persist the corpus's LSH index through TableIO:
 
@@ -547,33 +702,46 @@ def persist_corpus_index(
       {prefix}_hot      (tok)                     — the DF-cap population,
                                                     if caller provides it
 
-    All four go through MERGE upserts, so the SAME call both creates the
-    index and grows it with a processed batch. Re-delivered ids replace
-    their rows WHOLESALE: buckets and tokens are merged keyed on the doc
-    id (not (id, tok)), so a changed recrawled doc's removed tokens are
-    deleted rather than surviving next to the new ones — a stale token
-    row would inflate n_common against the replaced sizes and produce
-    Jaccard values above the true overlap (even > 1). The hot-token list
-    only grows (a token once capped stays capped — conservative for
-    recall, stable for replays). At 100 TB this is the one-time hashing
-    pass over the corpus; every later recrawl costs O(new batch) hashing
-    plus bucket-equality joins against these tables.
+    All four go through PARTITION-BOUNDED MERGE upserts
+    (``merge_upsert_bucketed``): each table is hive-partitioned by a
+    crc32 bucket of its key, and a batch reads + rewrites ONLY the
+    bucket partitions its keys touch — at 100 TB a recrawl batch costs
+    O(batch) partition rewrites, never a full index rewrite (untouched
+    partitions' files stay byte-identical, asserted in tests). The SAME
+    call both creates the index and grows it with a processed batch.
+    Re-delivered ids replace their rows WHOLESALE: buckets and tokens
+    are merged keyed on the doc id (not (id, tok)), so a changed
+    recrawled doc's removed tokens are deleted rather than surviving
+    next to the new ones — a stale token row would inflate n_common
+    against the replaced sizes and produce Jaccard values above the true
+    overlap (even > 1). The hot-token list only grows (a token once
+    capped stays capped — conservative for recall, stable for replays).
+    At 100 TB this is the one-time hashing pass over the corpus; every
+    later recrawl costs O(new batch) hashing plus bucket-equality joins
+    against these tables.
     Contract: ``toks`` must already be DF-capped with the population whose
     hot list is persisted alongside (pass both from one ``token_sets`` /
     ``hot_token_list`` computation).
     """
-    from ..sources.merge import merge_upsert
+    from ..sources.merge import merge_upsert_bucketed
 
     sig = minhash_band_signatures(toks, id_col)
-    merge_upsert(
+    merge_upsert_bucketed(
         spark, io, band_buckets(sig, id_col), f"{prefix}_buckets",
-        keys=[id_col],
+        keys=[id_col], n_buckets=n_buckets,
     )
-    merge_upsert(spark, io, toks, f"{prefix}_tokens", keys=[id_col])
+    merge_upsert_bucketed(
+        spark, io, toks, f"{prefix}_tokens", keys=[id_col], n_buckets=n_buckets
+    )
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
-    merge_upsert(spark, io, sizes, f"{prefix}_sizes", keys=[id_col])
+    merge_upsert_bucketed(
+        spark, io, sizes, f"{prefix}_sizes", keys=[id_col], n_buckets=n_buckets
+    )
     if hot_tokens is not None:
-        merge_upsert(spark, io, hot_tokens, f"{prefix}_hot", keys=["tok"])
+        merge_upsert_bucketed(
+            spark, io, hot_tokens, f"{prefix}_hot", keys=["tok"],
+            n_buckets=n_buckets,
+        )
 
 
 def incremental_lsh_pairs_stored(
@@ -595,15 +763,18 @@ def incremental_lsh_pairs_stored(
     side rows reflect the index as of the last ``persist_corpus_index``.
     Returns (doc_a = new id, doc_b = corpus id, jaccard).
     """
-    import os
+    from ..sources.merge import read_merged
 
-    if os.path.isdir(os.path.join(io.root, f"{prefix}_hot")):
-        hot = io.read(spark, f"{prefix}_hot")
+    # backend-respecting existence probe: a catalog-backed TableIO keeps
+    # the hot list in the catalog, where an os.path.isdir poke would
+    # silently miss it and drop the shared DF-cap
+    if io.table_exists(spark, f"{prefix}_hot"):
+        hot = read_merged(spark, io, f"{prefix}_hot").select("tok")
         new_toks = new_toks.join(F.broadcast(hot), on="tok", how="left_anti")
     nb = band_buckets(minhash_band_signatures(new_toks, id_col), id_col).select(
         F.col(id_col).alias("doc_a"), "band_idx", "band_key"
     )
-    cb = io.read(spark, f"{prefix}_buckets").select(
+    cb = read_merged(spark, io, f"{prefix}_buckets").select(
         F.col(id_col).alias("doc_b"), "band_idx", "band_key"
     )
     cands = _probe_candidates(nb, cb)
@@ -611,9 +782,9 @@ def incremental_lsh_pairs_stored(
     return jaccard_verify_two_sided(
         cands,
         new_toks,
-        io.read(spark, f"{prefix}_tokens"),
+        read_merged(spark, io, f"{prefix}_tokens"),
         new_sizes,
-        io.read(spark, f"{prefix}_sizes"),
+        read_merged(spark, io, f"{prefix}_sizes"),
         id_col,
         threshold,
     )

@@ -58,9 +58,21 @@ def merge_upsert(
     UPDATE * WHEN NOT MATCHED THEN INSERT *`; the fallback computes
     (existing ANTI updates) UNION updates and overwrites — same result,
     still snapshot-atomic at the directory level.
+
+    This form rewrites the WHOLE table per call — right-sized for the
+    small keyed digest tables it serves (ledger, report, alerts). For
+    tables that grow with the corpus (LSH index, queue state), use
+    ``merge_upsert_bucketed``: it rewrites only the key-bucket partitions
+    an update touches.
     """
     import os
 
+    if io.catalog is not None:
+        raise NotImplementedError(
+            "merge_upsert writes raw parquet under io.root and would "
+            "silently bypass a catalog-backed TableIO; use "
+            "merge_upsert_bucketed (catalog-aware) or Iceberg MERGE INTO"
+        )
     target_dir = f"{io.root}/{table}"
     if os.path.isdir(target_dir):
         existing = spark.read.parquet(target_dir)
@@ -69,6 +81,95 @@ def merge_upsert(
     else:
         merged = updates
     _atomic_overwrite(merged, io, table)
+
+
+# partition column for key-bucketed MERGE targets (hive layout
+# root/table/__kb=N/); readers re-derive business columns only, so the
+# name is reserved
+BUCKET_COL = "__kb"
+
+
+def key_bucket(keys: list[str], n_buckets: int):
+    """Deterministic bucket-of-key column: crc32 over the '\\x1f'-joined
+    key strings mod n_buckets. crc32 (not hash()) so the bucket of a key
+    is stable across Spark versions/sessions — a key must land in the
+    SAME partition on every merge or stale copies survive in old buckets."""
+    joined = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    return F.pmod(F.crc32(joined.cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def _pin_n_buckets(io: TableIO, table: str, n_buckets: int) -> None:
+    """Persist the table's bucket count on first write and verify it on
+    every later merge — a different n_buckets would re-bucket keys into
+    different partitions while stale rows survive in the old ones (the
+    same loud-mismatch contract as the partition ledger's pinned
+    n_partitions). Fallback-only seam: catalog mode carries the pin as a
+    table comment-free contract (Iceberg's native bucket transform
+    replaces it)."""
+    import os
+
+    pin = os.path.join(io._dir(table), ".nbuckets")
+    if os.path.exists(pin):
+        with open(pin) as fh:
+            pinned = int(fh.read().strip())
+        if pinned != n_buckets:
+            raise ValueError(
+                f"table '{table}' was bucketed with n_buckets={pinned}; "
+                f"merging with n_buckets={n_buckets} would strand stale "
+                "rows in old bucket partitions"
+            )
+    else:
+        os.makedirs(io._dir(table), exist_ok=True)
+        with open(pin, "w") as fh:
+            fh.write(str(n_buckets))
+
+
+def merge_upsert_bucketed(
+    spark: SparkSession,
+    io: TableIO,
+    updates: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 16,
+) -> None:
+    """Partition-bounded MERGE: the target is partitioned by a crc32
+    bucket of the key, and an upsert reads + rewrites ONLY the bucket
+    partitions its keys touch — at 100 TB a recrawl batch rewrites
+    O(batch) partitions, never the whole index/queue table (the scale
+    defect of the plain ``merge_upsert`` rewrite). Untouched partitions'
+    files stay byte-identical on disk (asserted in tests).
+
+    The updates frame is localCheckpointed: it feeds the touched-bucket
+    list, the anti-join and the write, and each would otherwise re-derive
+    the caller's lineage. Works in catalog mode too (dynamic partition
+    overwrite / Iceberg ``overwritePartitions``)."""
+    up = updates.withColumn(BUCKET_COL, key_bucket(keys, n_buckets)).localCheckpoint(
+        eager=True
+    )
+    touched = sorted(r[0] for r in up.select(BUCKET_COL).distinct().collect())
+    if not touched:
+        return
+    # existence BEFORE pinning: the pin creates the table dir, which must
+    # not turn the first-ever merge into a read of an empty directory
+    exists = io.table_exists(spark, table)
+    if not io.catalog:
+        _pin_n_buckets(io, table, n_buckets)
+    if exists:
+        existing = io.read(spark, table).filter(F.col(BUCKET_COL).isin(touched))
+        surviving = existing.join(
+            up.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        merged = surviving.unionByName(up, allowMissingColumns=True)
+    else:
+        merged = up
+    io.overwrite_partitions_dynamic(merged, table, BUCKET_COL)
+
+
+def read_merged(spark: SparkSession, io: TableIO, table: str) -> DataFrame:
+    """Read a (possibly bucket-partitioned) merge target with the
+    internal bucket column stripped."""
+    df = io.read(spark, table)
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
 def insert_missing(
@@ -80,7 +181,10 @@ def insert_missing(
 ) -> int:
     """Append only rows whose keys are absent — the reference's
     query-existing + anti-filter + batch insert (reconciliation_runner.py:
-    501-631) as one anti join + append."""
+    501-631) as one anti join + append. The anti join is materialized
+    ONCE (eager localCheckpoint): count and write both read the
+    checkpointed rows instead of re-deriving the join (and re-reading the
+    target) per action."""
     import os
 
     target_dir = f"{io.root}/{table}"
@@ -89,6 +193,7 @@ def insert_missing(
         fresh = rows.join(existing_keys, on=keys, how="left_anti")
     else:
         fresh = rows
+    fresh = fresh.localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         fresh.write.mode("append").options(**io.write_options()).parquet(target_dir)

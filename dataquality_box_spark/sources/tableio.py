@@ -61,6 +61,7 @@ class TableIO:
         codec, _, level = compression.partition(":")
         self.compression = codec or "zstd"
         self.codec_level = int(level) if level else None
+        self._v2_probe: bool | None = None
 
     def write_options(self) -> dict[str, str]:
         out = {"compression": self.compression}
@@ -78,6 +79,29 @@ class TableIO:
 
     def _qualified(self, table: str) -> str:
         return f"{self.catalog}.{table}"
+
+    def _is_v2_catalog(self, spark: SparkSession) -> bool:
+        """True when the catalog prefix names a registered V2 catalog
+        (e.g. Iceberg). Probed up front via the ``spark.sql.catalog.<name>``
+        registration conf — V2 catalogs are always registered there while
+        the session (v1) catalog is not — instead of string-matching
+        writer exception messages, whose phrasing is Spark-version-
+        specific. Cached per instance (the registration is session-static)."""
+        if self._v2_probe is None:
+            name = self.catalog.split(".", 1)[0]
+            self._v2_probe = (
+                spark.conf.get(f"spark.sql.catalog.{name}", None) is not None
+            )
+        return self._v2_probe
+
+    def table_exists(self, spark: SparkSession, table: str) -> bool:
+        """Backend-respecting existence check: catalog lookup in catalog
+        mode, directory probe in the parquet fallback — so callers (the
+        stored LSH index, the work queue) never silently miss a
+        catalog-managed table by poking the filesystem."""
+        if self.catalog:
+            return spark.catalog.tableExists(self._qualified(table))
+        return os.path.isdir(self._dir(table))
 
     @staticmethod
     def _sql_lit(value) -> str:
@@ -104,32 +128,7 @@ class TableIO:
     ) -> None:
         """Idempotent partition replace (INSERT OVERWRITE semantics)."""
         if self.catalog:
-            self._ensure_catalog_table(df, table, part_col)
-            try:
-                # V2 catalogs (Iceberg): snapshot-atomic partition replace
-                (
-                    df.writeTo(self._qualified(table))
-                    .option("compression-codec", self.compression)
-                    .overwritePartitions()
-                )
-            except Exception as ex:  # noqa: BLE001
-                if "v1 table" not in str(ex):
-                    raise
-                # session-catalog (v1) tables reject the V2 write path;
-                # dynamic partition-overwrite insertInto is the same
-                # per-partition replace (only partitions in df rewrite)
-                spark = df.sparkSession
-                prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-                try:
-                    cols = spark.table(self._qualified(table)).columns
-                    df.select(*cols).write.mode("overwrite").insertInto(
-                        self._qualified(table)
-                    )
-                finally:
-                    spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", prev
-                    )
+            self._catalog_overwrite_partitions(df, table, part_col)
             return
         out = self._part_dir(table, part_col, value)
         (
@@ -138,6 +137,60 @@ class TableIO:
             .options(**self.write_options())
             .parquet(out)
         )
+
+    def _catalog_overwrite_partitions(
+        self, df: DataFrame, table: str, part_col: str
+    ) -> None:
+        """Catalog-mode replace of exactly the partitions present in
+        ``df``. The write path is chosen by the up-front catalog
+        capability probe (``_is_v2_catalog``): V2 catalogs (Iceberg) get
+        the snapshot-atomic ``overwritePartitions``; session-catalog (v1)
+        tables run the equivalent dynamic partition-overwrite
+        ``insertInto`` (only partitions in ``df`` rewrite)."""
+        self._ensure_catalog_table(df, table, part_col)
+        spark = df.sparkSession
+        if self._is_v2_catalog(spark):
+            (
+                df.writeTo(self._qualified(table))
+                .option("compression-codec", self.compression)
+                .overwritePartitions()
+            )
+            return
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            cols = spark.table(self._qualified(table)).columns
+            df.select(*cols).write.mode("overwrite").insertInto(
+                self._qualified(table)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def overwrite_partitions_dynamic(
+        self, df: DataFrame, table: str, part_col: str
+    ) -> None:
+        """Replace exactly the partitions PRESENT in ``df``, possibly
+        many at once — untouched partitions' files are never read or
+        rewritten (the partition-bounded MERGE write side). Catalog mode
+        is snapshot-atomic on V2; the fallback relies on Spark's dynamic
+        partition-overwrite commit, which replaces each touched partition
+        directory idempotently (re-running the same write heals a crash —
+        the same contract as ``overwrite_partition``)."""
+        if self.catalog:
+            self._catalog_overwrite_partitions(df, table, part_col)
+            return
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.write.mode("overwrite")
+                .partitionBy(part_col)
+                .options(**self.write_options())
+                .parquet(self._dir(table))
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if self.catalog:

@@ -401,3 +401,186 @@ def test_pick_representatives_by_quality(spark):
         ).collect()
     }
     assert got == {1: False, 2: True, 3: False, 10: True, 11: False}
+
+
+def test_persist_corpus_index_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-bounded corpus-index MERGE: folding batch 2 into the
+    index must leave every bucket partition its keys do NOT touch
+    byte-identical on disk (mtime_ns + size per file) — the 100-TB
+    incremental story without the full-table rewrite."""
+    import os
+
+    from dataquality_box_spark.operators.dedup import (
+        incremental_lsh_pairs_stored,
+        persist_corpus_index,
+        token_sets,
+    )
+    from dataquality_box_spark.sources.merge import BUCKET_COL, key_bucket
+    from dataquality_box_spark.sources.tableio import TableIO
+    from pyspark.sql import functions as F
+
+    io = TableIO(str(tmp_path / "idx"))
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} body alpha{i} beta{i} gamma{i}") for i in range(64)],
+        "doc_id long, text string",
+    )
+    persist_corpus_index(spark, io, token_sets(corpus, df_cap_inv=None))
+
+    def file_index(table):
+        out = {}
+        tdir = os.path.join(io.root, table)
+        for dirpath, _dirs, files in os.walk(tdir):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, tdir)] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = {t: file_index(f"lsh_corpus_{t}") for t in ("buckets", "tokens", "sizes")}
+
+    batch2 = spark.createDataFrame(
+        [(1000, "totally fresh recrawl document body zeta")],
+        "doc_id long, text string",
+    )
+    persist_corpus_index(spark, io, token_sets(batch2, df_cap_inv=None))
+
+    touched = {
+        r[0]
+        for r in spark.createDataFrame([(1000,)], "doc_id long")
+        .select(key_bucket(["doc_id"], 16).alias("b"))
+        .collect()
+    }
+    for t in ("buckets", "tokens", "sizes"):
+        after = file_index(f"lsh_corpus_{t}")
+        untouched_b = {
+            k: v for k, v in before[t].items()
+            if not any(f"{BUCKET_COL}={b}/" in k for b in touched)
+        }
+        untouched_a = {
+            k: v for k, v in after.items()
+            if not any(f"{BUCKET_COL}={b}/" in k for b in touched)
+        }
+        assert untouched_b and untouched_b == untouched_a, t
+
+    # the grown index still answers recrawl probes (stored-route green)
+    probe = spark.createDataFrame(
+        [(2000, "totally fresh recrawl document body zeta")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs_stored(
+            spark, io, token_sets(probe, df_cap_inv=None), threshold=0.8
+        ).collect()
+    }
+    assert got == {(2000, 1000)}
+
+
+def test_inline_incremental_redelivery_prefers_new_tokens(spark):
+    """Inline incremental route, re-delivered doc whose token set CHANGED:
+    the new batch's rows win wholesale (union would inflate the union
+    size and skew Jaccard low for its pairs with third docs)."""
+    from dataquality_box_spark.operators.dedup import incremental_lsh_pairs
+
+    # doc 7 v1 (corpus): {alpha bravo charlie delta}; v2 (new): {alpha
+    # bravo charlie echo}. doc 8 (corpus) shares v2's exact tokens.
+    corpus = spark.createDataFrame(
+        [(7, t) for t in ["alpha", "bravo", "charlie", "delta"]]
+        + [(8, t) for t in ["alpha", "bravo", "charlie", "echo"]],
+        "doc_id long, tok string",
+    )
+    new = spark.createDataFrame(
+        [(7, t) for t in ["alpha", "bravo", "charlie", "echo"]],
+        "doc_id long, tok string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in incremental_lsh_pairs(new, corpus, threshold=0.5).collect()
+    }
+    # replace-wholesale: doc 7 == doc 8 exactly (jaccard 1.0); the stale
+    # union {alpha bravo charlie delta echo} would give 4/5
+    assert got == {(7, 8): 1.0}
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """Exhausting max_iters before the fixpoint must raise (a silently
+    split chain keeps near-dups), pointing at the star variant."""
+    import pytest
+
+    from dataquality_box_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="star"):
+        duplicate_clusters(chain, max_iters=3)
+
+
+def test_duplicate_clusters_singletons_via_all_docs(spark):
+    """With all_docs, pair-free docs come back as their own kept
+    singleton clusters — joining the output to the corpus loses nothing."""
+    from dataquality_box_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4)], "doc_id long"
+    )
+    for fn in (duplicate_clusters, duplicate_clusters_star):
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in fn(pairs, all_docs=docs).collect()
+        }
+        assert got == {
+            1: (1, True), 2: (1, False), 3: (3, True), 4: (4, True)
+        }, fn.__name__
+
+
+def test_star_clusters_parity_with_min_label(spark):
+    """large-star/small-star must produce byte-identical clusters to
+    min-label propagation on star, chain, ring and mixed fixtures."""
+    from dataquality_box_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    fixtures = {
+        "star": [(1, k) for k in range(2, 9)],
+        "chain": [(i, i + 1) for i in range(1, 9)],
+        "ring": [(i, i + 1) for i in range(1, 8)] + [(8, 1)],
+        "mixed": [(1, 2), (2, 3), (10, 11), (21, 20), (30, 31), (31, 32), (30, 32)],
+    }
+    for name, edges in fixtures.items():
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        want = {
+            (r["doc_id"], r["cluster_id"], r["keep"])
+            for r in duplicate_clusters(pairs).collect()
+        }
+        got = {
+            (r["doc_id"], r["cluster_id"], r["keep"])
+            for r in duplicate_clusters_star(pairs).collect()
+        }
+        assert got == want, name
+
+
+def test_star_clusters_long_chain_converges_in_log_rounds(spark):
+    """A 1k-link chain: min-label needs ~1000 rounds (and raises at any
+    reasonable cap); the star alternation converges in O(log n) — the
+    documented extreme-scale upgrade, round-count asserted."""
+    from dataquality_box_spark.operators.dedup import duplicate_clusters_star
+
+    n = 1024
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    rounds: list[int] = []
+    got = duplicate_clusters_star(chain, rounds_out=rounds)
+    rows = got.collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 1 for r in rows)
+    assert sum(1 for r in rows if r["keep"]) == 1
+    assert rounds[0] <= 15, rounds  # ~log2(1024)=10 alternations, not ~1000

@@ -96,7 +96,9 @@ def test_concurrent_mutator_detected_and_stale_lock_broken(spark, tmp_path):
     assert q.backlog() == 2
 
     # crashed holder: age the lock past LOCK_STALE_SEC -> broken, claim works
-    old = time.time() - 120
+    from dataquality_box_spark.plans.queue import LOCK_STALE_SEC
+
+    old = time.time() - (LOCK_STALE_SEC + 60)
     os.utime(lock, (old, old))
     got = q.claim(now=1002.0)
     assert [g["item_id"] for g in got] == ["a", "b"]
@@ -121,3 +123,99 @@ def test_heartbeat_keeps_live_holder_fresh(spark, tmp_path):
         with pytest.raises(QueueConcurrencyError):
             with q._mutex(stale_sec=0.3):
                 pass
+
+
+def test_fencing_token_aborts_broken_holder(spark, tmp_path):
+    """A holder whose lock was broken (stale-aged) and re-acquired by
+    someone else must ABORT its merge via the fencing re-check rather
+    than mutate state concurrently with the new holder."""
+    import pytest
+
+    from dataquality_box_spark.plans.queue import QueueConcurrencyError, WorkQueue
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    q = WorkQueue(spark, io)
+    q.enqueue({"a": {}}, now=0.0)
+    with q._mutex() as token:
+        # simulate the breaker: replace the lock content with ITS token
+        with open(q._lock_path(), "w") as fh:
+            fh.write("1234:deadbeef")
+        with pytest.raises(QueueConcurrencyError, match="broken"):
+            q._merge([("a", "{}", "PROCESSING", 0, 1.0, None)], token)
+    # the refused merge left state untouched
+    assert q.backlog() == 1
+
+
+def _partition_file_index(root: str, table: str) -> dict[str, tuple]:
+    """(mtime_ns, size) per data file under each bucket partition dir."""
+    import os
+
+    out = {}
+    tdir = os.path.join(root, table)
+    for dirpath, _dirs, files in os.walk(tdir):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, tdir)] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_transitions_rewrite_only_touched_bucket_partitions(spark, tmp_path):
+    """The state table is bucket-partitioned by item_id: completing ONE
+    item must leave every other bucket partition's files byte-untouched
+    (mtime+size identical) — the partition-bounded MERGE contract."""
+    from dataquality_box_spark.plans.queue import STATE_BUCKETS, WorkQueue
+    from dataquality_box_spark.sources.merge import BUCKET_COL
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    q = WorkQueue(spark, io)
+    # enough items to populate several bucket partitions
+    q.enqueue({f"item_{i:03d}": {"i": i} for i in range(40)}, now=0.0)
+    claimed = q.claim(now=1.0, batch=1)
+    before = _partition_file_index(io.root, "work_queue")
+
+    q.complete(claimed[0]["item_id"], ok=True, now=2.0)
+
+    after = _partition_file_index(io.root, "work_queue")
+    touched_bucket = (
+        io.read(spark, "work_queue")
+        .where("item_id = '%s'" % claimed[0]["item_id"])
+        .select(BUCKET_COL)
+        .collect()[0][0]
+    )
+    # files OUTSIDE the touched bucket are identical objects on disk
+    untouched_before = {k: v for k, v in before.items()
+                        if f"{BUCKET_COL}={touched_bucket}/" not in k}
+    untouched_after = {k: v for k, v in after.items()
+                       if f"{BUCKET_COL}={touched_bucket}/" not in k}
+    assert untouched_before == untouched_after
+    assert untouched_before  # several buckets actually exist
+    # and the touched bucket DID rewrite
+    touched_before = {k for k in before if f"{BUCKET_COL}={touched_bucket}/" in k}
+    touched_after = {k: after[k] for k in after
+                     if f"{BUCKET_COL}={touched_bucket}/" in k}
+    assert touched_after and (
+        touched_before != set(touched_after)
+        or any(before[k] != touched_after[k] for k in touched_after)
+    )
+    assert len({k.split("/")[0] for k in after}) > 1  # multi-bucket layout
+
+
+def test_bucket_count_is_pinned(spark, tmp_path):
+    """Merging an existing bucketed table with a different n_buckets must
+    fail loudly — rebucketing keys would strand stale rows in the old
+    partitions."""
+    import pytest
+
+    from dataquality_box_spark.sources.merge import merge_upsert_bucketed
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    merge_upsert_bucketed(spark, io, df, "t", keys=["k"], n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        merge_upsert_bucketed(spark, io, df, "t", keys=["k"], n_buckets=4)

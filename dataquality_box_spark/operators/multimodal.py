@@ -13,6 +13,11 @@ Codec status (what is REAL vs still FAKE):
     struct + NumPy (header, BGR rows, 4-byte row padding, bottom-up
     orientation), 8-dim color feature vector. ``synth_bmp_bytes`` emits
     real BMP bytes.
+  * ``image/png``  — REAL decode: stdlib ``zlib`` inflate + per-row
+    unfilter (None/Sub/Up/Average/Paeth), 8-bit truecolor RGB/RGBA,
+    same 8-dim color feature as BMP (identical pixels => identical
+    feature vector, property-tested). ``synth_png_bytes`` emits real
+    spec-compliant PNG covering every filter type.
   * ``image/jpeg`` / ``video/mp4`` — STILL FAKE: JPEG entropy decode and
     video frame extraction need Pillow / PyAV, absent in this container.
     Behind ``DQX_FAKE_DECODE=1`` (default in tests) a deterministic fake
@@ -100,27 +105,209 @@ def synth_bmp_bytes(width: int = 16, height: int = 12, seed: int = 0) -> bytes:
     return header + info + pixel_data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over a pixel row (int16 math so
+    the |p - x| distances don't wrap)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def synth_png_bytes(
+    width: int = 16, height: int = 12, seed: int = 0, rgba: bool = False
+) -> bytes:
+    """REAL spec-compliant PNG bytes (8-bit truecolor) from a seeded
+    pixel field. Each scanline uses filter type ``row % 5``, so a corpus
+    of synthetic PNGs exercises every unfilter path in the decoder."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    channels = 4 if rgba else 3
+    px = rng.integers(0, 256, (height, width, channels), dtype=np.uint8)
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.uint8)
+    for y in range(height):
+        row = px[y].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        up_left = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        ftype = y % 5
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:  # Sub
+            filt = row - left
+        elif ftype == 2:  # Up
+            filt = row - prev
+        elif ftype == 3:  # Average
+            filt = row - ((left.astype(np.uint16) + prev.astype(np.uint16)) // 2).astype(
+                np.uint8
+            )
+        else:  # Paeth
+            filt = row - _paeth(left, prev, up_left)
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if rgba else 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with the stdlib only: chunk walk, zlib inflate,
+    per-scanline unfilter (None/Sub/Up/Average/Paeth per the PNG spec).
+    Supports 8-bit truecolor (RGB, color type 2) and truecolor+alpha
+    (RGBA, type 6), non-interlaced — the shapes a training-data pipeline
+    actually stores. Returns (h, w, channels) uint8.
+    Sub/Average/Paeth recurrences depend on the just-reconstructed left
+    pixel, so those rows reconstruct pixel-group-sequentially; Up rows
+    and the Paeth/Average predictors themselves are NumPy-vectorized."""
+    import struct
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced truecolor PNG (RGB/RGBA) is decoded "
+            "in-container"
+        )
+    bpp = 4 if ctype == 6 else 3
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        filt = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
+        if ftype == 0:
+            row = filt.copy()
+        elif ftype == 2:  # Up
+            row = filt + prev
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            row = filt.reshape(width, bpp).astype(np.uint16)
+            np.cumsum(row, axis=0, out=row)
+            row = (row & 0xFF).astype(np.uint8).reshape(-1)
+        else:  # Average (3) / Paeth (4): left-dependent recurrence
+            row = np.empty(stride, dtype=np.uint8)
+            zero = np.zeros(bpp, dtype=np.uint8)
+            for x in range(width):
+                i = x * bpp
+                left = row[i - bpp : i] if x else zero
+                up = prev[i : i + bpp]
+                up_left = prev[i - bpp : i] if x else zero
+                if ftype == 3:
+                    pred = (
+                        (left.astype(np.uint16) + up.astype(np.uint16)) // 2
+                    ).astype(np.uint8)
+                elif ftype == 4:
+                    pred = _paeth(left, up, up_left)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                row[i : i + bpp] = filt[i : i + bpp] + pred
+        out[y] = row
+        prev = row
+    return out.reshape(height, width, bpp)
+
+
+def _color_features(rgb: np.ndarray) -> np.ndarray:
+    """Shared 8-dim color feature for decoded images: [w/4096, h/4096,
+    mean_r, mean_g, mean_b, std_gray, min_gray, max_gray] — computed
+    from the RGB planes only, so a PNG and a BMP of the SAME pixels
+    yield the SAME vector (property-tested)."""
+    h, w = rgb.shape[:2]
+    rgbf = rgb[..., :3].astype(np.float32)
+    gray = rgbf.mean(axis=2)
+    return np.array(
+        [
+            w / 4096.0,
+            h / 4096.0,
+            rgbf[..., 0].mean() / 255.0,
+            rgbf[..., 1].mean() / 255.0,
+            rgbf[..., 2].mean() / 255.0,
+            gray.std() / 255.0,
+            gray.min() / 255.0,
+            gray.max() / 255.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    return _color_features(decode_png_pixels(payload))
+
+
 def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic synthetic media table. Audio payloads are REAL WAV
-    bytes and image payloads REAL BMP bytes (both decodable in-container);
-    video payloads are seeded pseudo-bytes behind the fake-decode seam."""
+    bytes; image payloads alternate REAL BMP and REAL PNG bytes (all
+    decodable in-container, the PNGs cycling through every scanline
+    filter type); video payloads are seeded pseudo-bytes behind the
+    fake-decode seam."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[rng.integers(0, 3, n)]
-    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}
     widths = rng.integers(4, 32, n)
     heights = rng.integers(4, 32, n)
     durations = rng.integers(50, 400, n)
-    payloads = []
+    payloads, mime_col = [], []
     for i, k in enumerate(kinds):
         if k == "audio":
+            mime_col.append("audio/wav")
             payloads.append(
                 synth_wav_bytes(
                     freq_hz=220.0 + (i % 8) * 110.0, ms=int(durations[i]), rate=8000
                 )
             )
         elif k == "image":
-            payloads.append(synth_bmp_bytes(int(widths[i]), int(heights[i]), seed=i))
+            if i % 2 == 0:
+                mime_col.append("image/bmp")
+                payloads.append(
+                    synth_bmp_bytes(int(widths[i]), int(heights[i]), seed=i)
+                )
+            else:
+                mime_col.append("image/png")
+                payloads.append(
+                    synth_png_bytes(
+                        int(widths[i]), int(heights[i]), seed=i, rgba=i % 4 == 3
+                    )
+                )
         else:
+            mime_col.append("video/mp4")
             payloads.append(
                 rng.integers(0, 256, int(rng.integers(256, 4096)))
                 .astype(np.uint8)
@@ -131,7 +318,7 @@ def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
             "media_id": np.arange(n, dtype=np.int64),
             "conv_id": [f"conv_{i % 97:08d}" for i in range(n)],
             "kind": kinds,
-            "mime": [mimes[k] for k in kinds],
+            "mime": mime_col,
             "payload": payloads,
             "width": np.where(kinds == "image", widths, None),
             "height": np.where(kinds == "image", heights, None),
@@ -206,23 +393,10 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_size * h, offset=data_off
     ).reshape(h, row_size)
-    rgb = rows[:, : width * 3].reshape(h, width, 3)[..., ::-1].astype(np.float32)
+    rgb = rows[:, : width * 3].reshape(h, width, 3)[..., ::-1]
     if height > 0:  # positive height = bottom-up storage
         rgb = rgb[::-1]
-    gray = rgb.mean(axis=2)
-    return np.array(
-        [
-            width / 4096.0,
-            h / 4096.0,
-            rgb[..., 0].mean() / 255.0,
-            rgb[..., 1].mean() / 255.0,
-            rgb[..., 2].mean() / 255.0,
-            gray.std() / 255.0,
-            gray.min() / 255.0,
-            gray.max() / 255.0,
-        ],
-        dtype=np.float32,
-    )
+    return _color_features(rgb)
 
 
 def _decode_fake(payload: bytes) -> np.ndarray:
@@ -241,12 +415,15 @@ def _decode_fake(payload: bytes) -> np.ndarray:
 
 
 def decode_payload(mime: str, payload: bytes) -> np.ndarray:
-    """Route a payload to its codec: WAV and BMP decode for REAL; the
-    rest go through the declared fake/NotImplementedError seam."""
+    """Route a payload to its codec: WAV, BMP and PNG decode for REAL;
+    the rest (jpeg/mp4) go through the declared fake/NotImplementedError
+    seam."""
     if mime == "audio/wav":
         return _decode_wav(payload)
     if mime == "image/bmp":
         return _decode_bmp(payload)
+    if mime == "image/png":
+        return _decode_png(payload)
     return _decode_fake(payload)
 
 
@@ -298,6 +475,3 @@ def payload_integrity(df: DataFrame) -> DataFrame:
         F.sum(F.length("payload")).alias("total_bytes"),
         F.countDistinct(F.crc32("payload")).alias("distinct_payloads"),
     )
-
-
-_ = zlib  # reserved for real codecs; keeps import explicit

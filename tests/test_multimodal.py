@@ -137,3 +137,77 @@ def test_fake_seam_still_guards_undone_codecs(spark, monkeypatch):
     wav_feat = mm.decode_payload("audio/wav", mm.synth_wav_bytes(ms=50))
     bmp_feat = mm.decode_payload("image/bmp", mm.synth_bmp_bytes(4, 4, seed=1))
     assert len(wav_feat) == 8 and len(bmp_feat) == 8
+
+
+def test_png_decode_is_real(spark):
+    """Real stdlib-zlib PNG decode end-to-end through mapInPandas: the
+    encoder cycles filter types per scanline (None/Sub/Up/Average/Paeth),
+    and the decoded channel means must equal the source pixel field."""
+    import numpy as np
+    import pandas as pd
+
+    from dataquality_box_spark.operators.multimodal import synth_png_bytes
+
+    # height 10 -> every filter type appears twice; width 5 keeps the
+    # Sub/Paeth left-recurrence non-trivial
+    png = synth_png_bytes(width=5, height=10, seed=11)
+    rgb = (
+        np.random.default_rng(11)
+        .integers(0, 256, (10, 5, 3), dtype=np.uint8)
+        .astype(np.float64)
+    )
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0],
+            "conv_id": ["c0"],
+            "kind": ["image"],
+            "mime": ["image/png"],
+            "payload": [png],
+            "width": pd.array([5], dtype="Int32"),
+            "height": pd.array([10], dtype="Int32"),
+            "duration_ms": pd.array([None], dtype="Int32"),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    feat = extract_features(df).collect()[0]["feat"]
+    w_n, h_n, mr, mg, mb, _sg, ming, maxg = feat
+    assert (w_n, h_n) == (5 / 4096, 10 / 4096)
+    for got, chan in ((mr, 0), (mg, 1), (mb, 2)):
+        assert abs(got - rgb[..., chan].mean() / 255.0) < 1e-5
+    gray = rgb.mean(axis=2)
+    assert abs(ming - gray.min() / 255.0) < 1e-5
+    assert abs(maxg - gray.max() / 255.0) < 1e-5
+
+
+def test_png_bmp_same_pixels_same_features():
+    """A PNG and a BMP holding the SAME pixel field must produce the
+    identical 8-dim feature vector (shared _color_features path)."""
+    import numpy as np
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    f_bmp = mm.decode_payload("image/bmp", mm.synth_bmp_bytes(16, 12, seed=7))
+    f_png = mm.decode_payload("image/png", mm.synth_png_bytes(16, 12, seed=7))
+    assert np.allclose(f_bmp, f_png, atol=1e-7)
+
+
+def test_png_guards_unsupported_shapes():
+    import pytest
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png_pixels(b"nope" * 4)
+    # 16-bit / palette / interlaced PNGs are a declared seam
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit depth
+    bad = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", _z.compress(b"\x00" * 26))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        mm.decode_png_pixels(bad)

@@ -330,3 +330,29 @@ def test_wav_codec_roundtrip_any_params(freq, ms, rate, amp, channels):
     if freq * ms / 1000 >= 5:  # enough full cycles for the bound to bite
         assert abs(feat[3] - amp / math.sqrt(2)) < 0.15 * amp
     assert feat[4] <= amp + 1e-3
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    rgba=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_any_geometry(w, h, seed, rgba):
+    """synth -> decode is PIXEL-EXACT for any geometry, seed and both
+    color types: the encoder cycles scanline filters 0-4 with height, so
+    h >= 5 exercises every unfilter recurrence (Sub's left cumsum, Up,
+    Average's floor-mean, Paeth's predictor)."""
+    from dataquality_box_spark.operators.multimodal import (
+        decode_png_pixels,
+        synth_png_bytes,
+    )
+
+    channels = 4 if rgba else 3
+    want = np.random.default_rng(seed).integers(
+        0, 256, (h, w, channels), dtype=np.uint8
+    )
+    got = decode_png_pixels(synth_png_bytes(w, h, seed=seed, rgba=rgba))
+    assert got.shape == (h, w, channels)
+    assert np.array_equal(got, want)

@@ -19,6 +19,13 @@ see ``write_time_ordered_buckets``. Under that contract the cumulative
 totals equal the batch SQL ``lag(role) over (partition by conv_id order
 by ts, event_id)`` computation exactly, which is what makes this operator
 strongly oracle-checkable despite being stateful.
+
+For sources that CANNOT guarantee in-order arrival (Kafka, multi-writer
+ingest), ``flag_turns_reordering`` lifts the contract: rows buffer in
+state until the event-time watermark passes them, then emit in
+(turn_idx, ts) order — exact batch parity for any arrival permutation
+whose event-time disorder is within the watermark delay (tested with
+fully shuffled bucket delivery).
 """
 
 from __future__ import annotations
@@ -104,22 +111,13 @@ FLAGGED_TURNS_SCHEMA = (
 FLAG_STATE_SCHEMA = "last_role string, last_ts_us long"
 
 
-def flag_turns_with_state(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-TURN conversation flags across micro-batches: the streaming
-    twin of the batch ``lag`` window. State carries exactly the boundary
-    row (last role + last ts) each conversation needs; everything else is
-    vectorized shift/compare over the batch. Same arrival-order contract
-    as ``update_conversation_state``; all three flags are always
-    computed — which of them DROP is the decision stage's concern
-    (cfg.dropping_reasons), so the stateful operator stays config-free.
-    """
-    (conv_id,) = key
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-        ["turn_idx", "ts"], kind="mergesort"
-    )
-    last_role, last_ts_us = state.get if state.exists else (None, None)
+def _flag_block(
+    conv_id: str, pdf: pd.DataFrame, last_role, last_ts_us
+) -> tuple[pd.DataFrame, str | None, int | None]:
+    """Per-turn flags over one (turn_idx, ts)-sorted block given the
+    cross-block boundary (last role + last ts, micros). Vectorized
+    shift/compare; returns the flagged frame and the new boundary.
+    Shared by the in-order tracker and the watermark reorder buffer."""
     roles = pdf["role"].reset_index(drop=True)
     ts = pd.to_datetime(pdf["ts"]).reset_index(drop=True)
     prev_role = roles.shift(1)
@@ -136,9 +134,8 @@ def flag_turns_with_state(
     out_of_order = (ts < prev_ts).fillna(False)
 
     if len(pdf):
-        state.update(
-            (str(roles.iloc[-1]), int(ts.iloc[-1].value // 1_000))
-        )
+        last_role = str(roles.iloc[-1])
+        last_ts_us = int(ts.iloc[-1].value // 1_000)
     out = pd.DataFrame(
         {
             "conv_id": conv_id,
@@ -152,6 +149,28 @@ def flag_turns_with_state(
             "out_of_order_ts": out_of_order.astype(bool),
         }
     )
+    return out, last_role, last_ts_us
+
+
+def flag_turns_with_state(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-TURN conversation flags across micro-batches: the streaming
+    twin of the batch ``lag`` window. State carries exactly the boundary
+    row (last role + last ts) each conversation needs; everything else is
+    vectorized shift/compare over the batch. Same arrival-order contract
+    as ``update_conversation_state``; all three flags are always
+    computed — which of them DROP is the decision stage's concern
+    (cfg.dropping_reasons), so the stateful operator stays config-free.
+    """
+    (conv_id,) = key
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["turn_idx", "ts"], kind="mergesort"
+    )
+    last_role, last_ts_us = state.get if state.exists else (None, None)
+    out, last_role, last_ts_us = _flag_block(conv_id, pdf, last_role, last_ts_us)
+    if len(pdf):
+        state.update((last_role, last_ts_us))
     yield out
 
 
@@ -163,6 +182,91 @@ def conversation_flags_stateful(turns_stream: DataFrame) -> DataFrame:
         stateStructType=FLAG_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+REORDER_STATE_SCHEMA = "last_role string, last_ts_us long, buf_json string"
+
+
+def flag_turns_reordering(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Out-of-order-tolerant per-turn flags: a watermark reorder buffer.
+
+    Rows are held in state until the event-time WATERMARK passes their
+    ``ts``; only then do they emit, in (turn_idx, ts) order, through the
+    same ``_flag_block`` boundary logic as the in-order tracker. The
+    arrival-order contract disappears: any delivery permutation whose
+    event-time disorder fits inside the watermark delay reproduces the
+    batch computation EXACTLY (parity-tested with fully shuffled bucket
+    delivery). Rows later than that — arriving after the watermark
+    already passed their ts — are not lost (Spark does not filter late
+    rows for arbitrary stateful ops, verified) but emit in a later flush,
+    where flags relative to already-emitted neighbors may differ from
+    batch: the standard bounded-lateness trade.
+
+    Buffered tails flush when the watermark advances past them — via
+    later arrivals, Spark's no-data micro-batches, or the next
+    incremental run against the same checkpoint (EventTimeTimeout fires
+    a row-less invocation; verified under availableNow). The buffer is
+    JSON in the state store: per-conversation and watermark-bounded, so
+    its size is arrival-rate x delay, never the stream length.
+
+    Requires ``withWatermark('ts', delay)`` upstream and
+    ``timeoutConf=EventTimeTimeout``.
+    """
+    import json
+
+    (conv_id,) = key
+    last_role, last_ts_us, buf_json = (
+        state.get if state.exists else (None, None, "[]")
+    )
+    buf = json.loads(buf_json or "[]")
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                ts_us = int(pd.Timestamp(r.ts).value // 1_000)
+                # NaN -> None so nullable string cols survive the JSON trip
+                tool = None if pd.isna(r.tool) else str(r.tool)
+                text = None if pd.isna(r.text) else str(r.text)
+                buf.append([int(r.turn_idx), str(r.role), text, tool, ts_us])
+    wm_us = state.getCurrentWatermarkMs() * 1_000
+    buf.sort(key=lambda b: (b[0], b[4]))
+    ready = [b for b in buf if b[4] <= wm_us]
+    rest = [b for b in buf if b[4] > wm_us]
+    if ready:
+        block = pd.DataFrame(
+            {
+                "turn_idx": pd.array([b[0] for b in ready], dtype="int32"),
+                "role": [b[1] for b in ready],
+                "text": [b[2] for b in ready],
+                "tool": [b[3] for b in ready],
+                "ts": [pd.Timestamp(b[4], unit="us") for b in ready],
+            }
+        )
+        out, last_role, last_ts_us = _flag_block(
+            conv_id, block, last_role, last_ts_us
+        )
+        yield out
+    state.update((last_role, last_ts_us, json.dumps(rest)))
+    if rest:
+        # wake when the watermark can next have moved past buffered rows
+        # (must be strictly above the current watermark)
+        wm_ms = wm_us // 1_000
+        state.setTimeoutTimestamp(max(wm_ms + 1, 1))
+
+
+def conversation_flags_reordering(turns_stream: DataFrame) -> DataFrame:
+    """Streaming per-turn conversation flags WITHOUT the arrival-order
+    contract: watermark reorder buffer per conversation. The input must
+    already carry ``withWatermark('ts', <delay>)`` with a delay covering
+    the source's worst event-time disorder."""
+    return turns_stream.groupBy("conv_id").applyInPandasWithState(
+        flag_turns_reordering,
+        outputStructType=FLAGGED_TURNS_SCHEMA,
+        stateStructType=REORDER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -159,7 +159,9 @@ def foreach_batch_upsert(
 
 
 def full_pipeline_stream(
-    stream: DataFrame, cfg: QualityConfig = DEFAULT_CONFIG
+    stream: DataFrame,
+    cfg: QualityConfig = DEFAULT_CONFIG,
+    reorder_watermark: str | None = None,
 ) -> DataFrame:
     """The COMPLETE filter+scrub pipeline as a continuous query — the
     streaming twin of ``plans.pipeline.run_pipeline``.
@@ -177,13 +179,26 @@ def full_pipeline_stream(
     a cfg that disables one of the enforce_* switches diverges from the
     batch plan only if that reason is also in ``dropping_reasons``
     (not the shipped configs).
+
+    ``reorder_watermark``: when set (e.g. ``'1 hour'``), the arrival-
+    order contract is DROPPED — rows buffer in the watermark reorder
+    operator and emit in (turn_idx, ts) order once the event-time
+    watermark passes them, so any delivery permutation with event-time
+    disorder inside the delay still matches batch exactly (Kafka /
+    multi-writer sources). When None (default), the in-order tracker
+    runs with zero buffering latency.
     """
     from ..operators.decide import with_decision
     from ..plans.pipeline import annotate_turns
     from ..schema import DROP_REASONS
-    from .stateful import conversation_flags_stateful
+    from .stateful import conversation_flags_reordering, conversation_flags_stateful
 
-    conv = conversation_flags_stateful(stream)
+    if reorder_watermark is not None:
+        conv = conversation_flags_reordering(
+            stream.withWatermark("ts", reorder_watermark)
+        )
+    else:
+        conv = conversation_flags_stateful(stream)
     annotated = annotate_turns(conv, cfg)
     decided = with_decision(
         annotated, cfg, {r: r for r in DROP_REASONS if r in annotated.columns}

@@ -231,3 +231,67 @@ def test_full_streaming_pipeline_matches_batch(
     pd.testing.assert_frame_equal(got, want)
     # state actually crossed batch boundaries: violations exist at all
     assert want["bad_role_sequence"].sum() > 0
+
+
+def test_full_streaming_pipeline_out_of_order_delivery(
+    spark, transcripts_pdf, transcripts_df, tmp_path
+):
+    """The watermark reorder buffer lifts the arrival-order contract:
+    bucket files delivered in a SHUFFLED order (turns of one conversation
+    arrive across micro-batches out of order) must still reproduce the
+    batch pipeline per turn, because rows buffer in state until the
+    watermark passes and emit (turn_idx, ts)-sorted."""
+    import os
+
+    import pandas as pd
+
+    from dataquality_box_spark.plans.pipeline import run_pipeline
+    from dataquality_box_spark.streaming.stateful import write_time_ordered_buckets
+    from dataquality_box_spark.streaming.stream import full_pipeline_stream
+
+    d = str(tmp_path / "stream_ooo")
+    write_time_ordered_buckets(
+        transcripts_df, d, n_buckets=5, order_cols=("turn_idx", "conv_id")
+    )
+    # permute DELIVERY order (FileStreamSource reads oldest-mtime-first):
+    # the last event-time bucket arrives first, neighbors interleave
+    perm = [4, 1, 3, 0, 2]
+    for new_order, b in enumerate(perm):
+        p = os.path.join(d, f"bucket_{b:02d}.parquet")
+        os.utime(p, (2_000_000 + new_order * 1000,) * 2)
+    # punctuation row: delivered last, far enough ahead that the final
+    # watermark (= sentinel ts - delay) clears the whole corpus and the
+    # EventTimeTimeout flush drains every buffer before termination
+    max_ts = pd.Timestamp(transcripts_pdf["ts"].max())
+    sent = transcripts_pdf.iloc[:1].copy()
+    sent["conv_id"] = "__wm_sentinel__"
+    sent["tool"] = "punct"  # all-null object col would parquet-type as INT32
+    sent["ts"] = (max_ts + pd.Timedelta(days=31)).as_unit("us")
+    sent_path = os.path.join(d, "bucket_99.parquet")
+    sent.to_parquet(sent_path, index=False)
+    os.utime(sent_path, (2_000_000 + 99 * 1000,) * 2)
+
+    stream = stream_transcripts(spark, d)
+    out = run_stream_to_memory(
+        spark,
+        full_pipeline_stream(stream, DEFAULT_CONFIG, reorder_watermark="30 days"),
+        "full_stream_ooo",
+    )
+
+    cols = [
+        "conv_id", "turn_idx", "bad_role_sequence", "broken_tool_chain",
+        "out_of_order_ts", "keep", "scrubbed_text",
+    ]
+    got = (
+        out.filter(F.col("conv_id") != "__wm_sentinel__")
+        .select(*cols).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = (
+        run_pipeline(transcripts_df, DEFAULT_CONFIG).select(*cols).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(got) == len(transcripts_pdf)
+    pd.testing.assert_frame_equal(got, want)
+    # the shuffle actually split conversations across out-of-order batches
+    assert want["bad_role_sequence"].sum() > 0

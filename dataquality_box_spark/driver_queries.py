@@ -3353,6 +3353,151 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Funnel with CLUSTER-based near-dup dedup: stage 1 keeps each near-dup
+# cluster's QUALITY-RANKED representative (duplicate_clusters over the
+# LSH pairs + pick_representatives) instead of exact-hash keep-min — the
+# policy real corpus prep runs (drop the worse copies, not the later
+# ones). Pairs come from the same DF-capped MinHash-LSH route (computed
+# over ALL documents so both engines share one cap population, then
+# restricted to corpus-corpus pairs); singleton docs survive stage 1 by
+# the all_docs contract. Oracle: recursive-CTE reachability for the
+# clusters + window argmax for representatives.
+def _funnel_clustered_sql() -> str:
+    stop = "|".join(MARKERS["en"])
+    q_expr = f"""ROUND(0.4 * LEAST(1.0, len({_TOKENS}) / 50.0)
+               + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                   THEN length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) / length(text)
+                   ELSE 0.0 END)
+               + 0.3 * CASE WHEN len({_TOKENS}) > 0
+                   THEN LEAST(1.0, 5.0 * len(regexp_extract_all(lower(text), '\\b(?:{stop})\\b')) / len({_TOKENS}))
+                   ELSE 0.0 END, 6)"""
+    return f"""
+    WITH RECURSIVE pairs0 AS ({_jaccard_lsh_sql()}),
+    cpairs AS (SELECT doc_a, doc_b FROM pairs0
+               WHERE doc_a % 50 <> 0 AND doc_b % 50 <> 0),
+    cedges AS (SELECT doc_a AS src, doc_b AS dst FROM cpairs
+               UNION SELECT doc_b, doc_a FROM cpairs),
+    reach(src, r) AS (
+      SELECT src, src FROM cedges
+      UNION
+      SELECT re.src, e.dst FROM reach re JOIN cedges e ON e.src = re.r),
+    lbl AS (SELECT src AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY src),
+    corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0),
+    scored AS (SELECT doc_id, text, lang, {q_expr} AS q FROM corpus),
+    clustered AS (
+      SELECT s.*, coalesce(l.cluster_id, s.doc_id) AS cluster_id
+      FROM scored s LEFT JOIN lbl l USING (doc_id)),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+      FROM clustered),
+    d1 AS (SELECT doc_id, text, lang, q FROM ranked WHERE rn = 1),
+    d2 AS (SELECT doc_id, text, lang FROM d1 WHERE q >= 0.5),
+    tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, tok
+           FROM (SELECT doc_id, unnest({_SHINGLES}) AS tok FROM tt) u),
+    bench AS (SELECT DISTINCT tok FROM sh WHERE doc_id % 50 = 0),
+    dirty AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (tok)),
+    d3 AS (SELECT d2.* FROM d2 LEFT JOIN dirty ON dirty.doc_id = d2.doc_id
+           WHERE dirty.doc_id IS NULL),
+    d4 AS (SELECT * FROM d3
+           WHERE {_SAMPLE_BUCKET} <
+             CASE WHEN lang = 'en' THEN {_THR_EN} WHEN lang = 'de' THEN {_THR_DE}
+                  ELSE {_THR_DEFAULT} END)
+    SELECT stage, n FROM (
+      SELECT '0_corpus' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM corpus
+      UNION ALL SELECT '1_cluster_dedup', CAST(COUNT(*) AS BIGINT) FROM d1
+      UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM d2
+      UNION ALL SELECT '3_decontaminated', CAST(COUNT(*) AS BIGINT) FROM d3
+      UNION ALL SELECT '4_sampled', CAST(COUNT(*) AS BIGINT) FROM d4)
+    """
+
+
+@_q("curation_funnel_clustered", _funnel_clustered_sql())
+def curation_funnel_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered funnel, single corpus scan per stage family: near-dup
+    clusters collapse to their best-quality representative (transitive
+    A~B~C keeps ONE doc, argmax q), then quality / decontamination /
+    stratified sampling flags ride the same frame. The LSH pair route
+    and the shingle join each run once."""
+    from pyspark.sql import Window as W
+
+    from .functions.text import tokens
+    from .operators.curation import decontaminate, sample_flag
+    from .operators.dedup import (
+        duplicate_clusters,
+        jaccard_pairs_lsh,
+        pick_representatives,
+        shingle_sets,
+    )
+
+    d = _tbl(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 50 != 0).select("doc_id", "text", "lang")
+
+    nt = F.size(tokens(F.col("text")))
+    nc = F.length("text")
+    nsym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 \\t\\n\\r]", ""))
+    nstop = F.regexp_count(
+        F.lower(F.col("text")), F.lit("\\b(?:" + "|".join(MARKERS["en"]) + ")\\b")
+    )
+    q = F.round(
+        0.4 * F.least(F.lit(1.0), nt / F.lit(50.0))
+        + 0.3 * (F.lit(1.0) - F.when(nc > 0, nsym / nc).otherwise(F.lit(0.0)))
+        + 0.3
+        * F.when(nt > 0, F.least(F.lit(1.0), F.lit(5.0) * nstop / nt)).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    scored = corpus.withColumn("q", q)
+
+    pairs = jaccard_pairs_lsh(d, threshold=0.8, df_cap_inv=5).filter(
+        (F.col("doc_a") % 50 != 0) & (F.col("doc_b") % 50 != 0)
+    )
+    reps = pick_representatives(
+        duplicate_clusters(pairs, all_docs=corpus),
+        scored.select("doc_id", F.col("q").alias("score")),
+        score_col="score",
+    )
+
+    sh = shingle_sets(d, n=3)
+    bench = sh.where(F.col("doc_id") % 50 == 0)
+    dirty = (
+        decontaminate(sh.where(F.col("doc_id") % 50 != 0), bench)
+        .select("doc_id")
+        .withColumn("__dirty", F.lit(True))
+    )
+
+    flags = (
+        scored.join(
+            reps.select("doc_id", F.col("keep").alias("f1")), "doc_id", "left"
+        )
+        .withColumn("f1", F.coalesce("f1", F.lit(False)))
+        .withColumn("f2", F.col("f1") & (F.col("q") >= 0.5))
+        .join(dirty, "doc_id", "left")
+        .withColumn("f3", F.col("f2") & F.col("__dirty").isNull())
+        .withColumn(
+            "f4",
+            F.col("f3")
+            & sample_flag(
+                "doc_id", rate=0.5, salt="s0",
+                strata_rates={"en": 0.2, "de": 0.8}, strata_col="lang",
+            ),
+        )
+    )
+    agg = flags.agg(
+        F.count("*").alias("c0"),
+        *[F.coalesce(F.sum(F.col(f).cast("long")), F.lit(0)).alias(f"c{i}")
+          for i, f in enumerate(["f1", "f2", "f3", "f4"], start=1)],
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, '0_corpus', c0, '1_cluster_dedup', c1, '2_quality', c2, "
+            "'3_decontaminated', c3, '4_sampled', c4) AS (stage, n)"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole
@@ -3430,7 +3575,10 @@ _CHECKED_FIRST: tuple[str, ...] = (
     "pack_token_bins",
     "drift_psi_report",
     "media_payload_stats",
-    "curation_funnel",
+    # clustered funnel subsumes the plain funnel's stages and adds the
+    # cluster-representative dedup composition; the plain variant stays
+    # registered + oracle-paired past the window
+    "curation_funnel_clustered",
 )
 
 

@@ -68,6 +68,30 @@ def bench_corpus_path() -> str:
     return path
 
 
+def scaled_corpus_path(factor: int) -> str:
+    """FACTOR-times transcript corpus: seed-shifted replicas with
+    disjoint conv_id spaces, generated in chunks so driver memory stays
+    one replica wide. Per-conversation structure (turn counts, planted
+    defect rates) is identical to the base corpus by construction, so
+    throughput differences at FACTOR-times scale measure the ENGINE."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    path = os.path.join(cache, f"transcripts_{N_CONVS}_x{factor}.parquet")
+    if not os.path.exists(path):
+        from dataquality_box_spark.synth import gen_transcripts
+
+        os.makedirs(path, exist_ok=True)
+        for k in range(factor):
+            pdf = gen_transcripts(N_CONVS, seed=42 + k)
+            pdf["conv_id"] = pdf["conv_id"].astype(str) + f"_r{k}"
+            n_files = max(8, len(pdf) // 25_000)
+            bounds = [round(i * len(pdf) / n_files) for i in range(n_files + 1)]
+            for i in range(n_files):
+                pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(
+                    os.path.join(path, f"part-{k:02d}-{i:05d}.parquet"), index=False
+                )
+    return path
+
+
 # --- dedup-route scaling evidence (Σ bucket² claim): run the bucketed
 # near-dup operators on the base corpus and on a FACTOR-times corpus with
 # the same duplication RATE, and report the wall-time ratio. Linear
@@ -244,6 +268,37 @@ def main() -> None:
 
     scaling = bench_dedup_scaling(spark)
 
+    # --- flagship pipeline at FACTOR-times corpus: the filter+scrub
+    # pipeline is embarrassingly parallel outside the one conv_id
+    # shuffle, so turns/sec should hold ~flat as the corpus grows (a
+    # throughput CLIFF here would mean a stage accumulates superlinear
+    # work). Best-of-2 at 10x (one run is ~10x the base wall time).
+    big = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        scaled_corpus_path(SCALE_FACTOR)
+    )
+    big_rows = big.count()
+    big_out = "/tmp/dqx_bench_out_big"
+    big_sec = float("inf")
+    for _ in range(2):
+        shutil.rmtree(big_out, ignore_errors=True)
+        t0 = time.time()
+        kept_turns(run_pipeline(big, DEFAULT_CONFIG)).write.mode("overwrite").parquet(
+            big_out
+        )
+        big_sec = min(big_sec, time.time() - t0)
+    pipeline_scaling = {
+        "factor": SCALE_FACTOR,
+        "rows_1x": n_rows,
+        "sec_1x": round(pipeline_sec, 2),
+        "tps_1x": round(n_rows / pipeline_sec, 1),
+        "rows_Nx": big_rows,
+        "sec_Nx": round(big_sec, 2),
+        "tps_Nx": round(big_rows / big_sec, 1),
+        "tps_ratio": round((big_rows / big_sec) / (n_rows / pipeline_sec), 3),
+        "note": "tps_ratio ≈ 1 ⇒ flat throughput at 10x corpus "
+        "(per-turn stages narrow; one conv_id shuffle)",
+    }
+
     print(
         json.dumps(
             {
@@ -256,6 +311,7 @@ def main() -> None:
                 "rows": n_rows,
                 "cpus": CPUS,
                 "dedup_scaling": scaling,
+                "pipeline_scaling": pipeline_scaling,
                 "methodology": f"best of {N_PIPELINE_REPS} pipeline runs / {N_QUERY_REPS} per query "
                 "(shared-host steal-burst damping)",
             }

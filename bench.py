@@ -79,7 +79,11 @@ def scaled_corpus_path(factor: int) -> str:
     if not os.path.exists(path):
         from dataquality_box_spark.synth import gen_transcripts
 
-        os.makedirs(path, exist_ok=True)
+        # stage + atomic rename: an interrupted generation must not leave
+        # a half-corpus that later runs silently bench against
+        staging = f"{path}.__staging__"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
         for k in range(factor):
             pdf = gen_transcripts(N_CONVS, seed=42 + k)
             pdf["conv_id"] = pdf["conv_id"].astype(str) + f"_r{k}"
@@ -87,8 +91,10 @@ def scaled_corpus_path(factor: int) -> str:
             bounds = [round(i * len(pdf) / n_files) for i in range(n_files + 1)]
             for i in range(n_files):
                 pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(
-                    os.path.join(path, f"part-{k:02d}-{i:05d}.parquet"), index=False
+                    os.path.join(staging, f"part-{k:02d}-{i:05d}.parquet"),
+                    index=False,
                 )
+        os.replace(staging, path)
     return path
 
 

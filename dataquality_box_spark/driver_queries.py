@@ -1485,20 +1485,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import tokens
-
+    # same 6dp arithmetic as the funnels' stage-2 threshold — one Spark
+    # definition (_quality_q_col) serves all three queries
     d = _tbl(spark, sf_dir, "documents")
-    nt = F.size(tokens(F.col("text")))
-    nc = F.length("text")
-    nsym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 \\t\\n\\r]", ""))
-    stop_pat = "\\b(?:" + "|".join(MARKERS["en"]) + ")\\b"
-    nstop = F.regexp_count(F.lower(F.col("text")), F.lit(stop_pat))
-    score = (
-        0.4 * F.least(F.lit(1.0), nt / F.lit(50.0))
-        + 0.3 * (F.lit(1.0) - F.when(nc > 0, nsym / nc).otherwise(F.lit(0.0)))
-        + 0.3 * F.when(nt > 0, F.least(F.lit(1.0), F.lit(5.0) * nstop / nt)).otherwise(F.lit(0.0))
-    )
-    return d.select("doc_id", F.round(score, 6).alias("quality_score"))
+    return d.select("doc_id", _quality_q_col().alias("quality_score"))
 
 
 # ---------------------------------------------------------------------------
@@ -3239,30 +3229,59 @@ def key_variant_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# End-to-end curation funnel over the documents corpus: exact dedup ->
+# End-to-end curation funnel over the documents corpus: dedup ->
 # quality filter -> decontamination -> stratified sample, reporting
 # survivors per stage (the corpus-prep counterpart of the transcript
 # pipeline's drop-reason accounting). Quality threshold compares the
 # 6dp-rounded score both engines already agree on bit-exactly
-# (doc_quality_score), so the boundary is engine-stable.
-def _funnel_sql() -> str:
+# (doc_quality_score), so the boundary is engine-stable. Two variants
+# share every stage except dedup (stage 1): exact-hash keep-min
+# (curation_funnel) vs near-dup cluster representatives
+# (curation_funnel_clustered) — the shared SQL/Spark pieces live in the
+# helpers below so the quality formula, decontamination join and
+# sampling strata exist ONCE per engine.
+
+
+def _quality_q_sql() -> str:
+    """The funnel's 6dp quality score as an inline SQL expression over a
+    relation exposing ``text`` (same arithmetic as doc_quality_score)."""
     stop = "|".join(MARKERS["en"])
-    return f"""
-    WITH corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0),
-    d1 AS (SELECT doc_id, text, lang FROM (
-             SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-             FROM corpus) WHERE doc_id = keeper),
-    scored AS (
-      SELECT doc_id, text, lang,
-             ROUND(0.4 * LEAST(1.0, len({_TOKENS}) / 50.0)
+    return f"""ROUND(0.4 * LEAST(1.0, len({_TOKENS}) / 50.0)
                    + 0.3 * (1.0 - CASE WHEN length(text) > 0
                        THEN length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) / length(text)
                        ELSE 0.0 END)
                    + 0.3 * CASE WHEN len({_TOKENS}) > 0
                        THEN LEAST(1.0, 5.0 * len(regexp_extract_all(lower(text), '\\b(?:{stop})\\b')) / len({_TOKENS}))
-                       ELSE 0.0 END, 6) AS q
-      FROM d1),
-    d2 AS (SELECT doc_id, text, lang FROM scored WHERE q >= 0.5),
+                       ELSE 0.0 END, 6)"""
+
+
+def _quality_q_col():
+    """Spark twin of ``_quality_q_sql`` (column over ``text``)."""
+    from .functions.text import tokens
+
+    nt = F.size(tokens(F.col("text")))
+    nc = F.length("text")
+    nsym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 \\t\\n\\r]", ""))
+    nstop = F.regexp_count(
+        F.lower(F.col("text")), F.lit("\\b(?:" + "|".join(MARKERS["en"]) + ")\\b")
+    )
+    return F.round(
+        0.4 * F.least(F.lit(1.0), nt / F.lit(50.0))
+        + 0.3 * (F.lit(1.0) - F.when(nc > 0, nsym / nc).otherwise(F.lit(0.0)))
+        + 0.3
+        * F.when(nt > 0, F.least(F.lit(1.0), F.lit(5.0) * nstop / nt)).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+
+
+def _funnel_tail_sql(stage1_label: str) -> str:
+    """Funnel stages 2-4 + the stage/count output, shared by both funnel
+    variants: expects CTEs ``corpus`` (doc_id, text, lang) and ``d1``
+    (stage-1 survivors with a 6dp ``q`` score column) upstream."""
+    return f"""
+    d2 AS (SELECT doc_id, text, lang FROM d1 WHERE q >= 0.5),
     tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
     sh AS (SELECT DISTINCT doc_id, tok
            FROM (SELECT doc_id, unnest({_SHINGLES}) AS tok FROM tt) u),
@@ -3276,46 +3295,22 @@ def _funnel_sql() -> str:
                   ELSE {_THR_DEFAULT} END)
     SELECT stage, n FROM (
       SELECT '0_corpus' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM corpus
-      UNION ALL SELECT '1_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM d1
+      UNION ALL SELECT '{stage1_label}', CAST(COUNT(*) AS BIGINT) FROM d1
       UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM d2
       UNION ALL SELECT '3_decontaminated', CAST(COUNT(*) AS BIGINT) FROM d3
       UNION ALL SELECT '4_sampled', CAST(COUNT(*) AS BIGINT) FROM d4)
     """
 
 
-@_q("curation_funnel", _funnel_sql())
-def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass funnel: each stage is a boolean survivorship flag on
-    one frame, so the corpus scan / dedup window / shingle join run
-    exactly ONCE and one aggregation yields every stage count (a 5-way
-    count union would re-derive the whole lineage per stage)."""
-    from pyspark.sql import Window as W
-
-    from .functions.text import tokens
+def _funnel_flags_spark(spark, sf_dir: str, scored_with_f1, stage1_label: str):
+    """Funnel stages 2-4 + stacked stage counts, shared by both funnel
+    variants: takes the corpus frame with columns (doc_id, lang, q, f1)
+    and composes quality / decontamination / stratified-sample flags on
+    the SAME frame, so the corpus scan and shingle join run once."""
     from .operators.curation import decontaminate, sample_flag
     from .operators.dedup import shingle_sets
 
     d = _tbl(spark, sf_dir, "documents")
-    corpus = d.where(F.col("doc_id") % 50 != 0).select("doc_id", "text", "lang")
-
-    keeper = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
-
-    nt = F.size(tokens(F.col("text")))
-    nc = F.length("text")
-    nsym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 \\t\\n\\r]", ""))
-    nstop = F.regexp_count(
-        F.lower(F.col("text")), F.lit("\\b(?:" + "|".join(MARKERS["en"]) + ")\\b")
-    )
-    score = F.round(
-        0.4 * F.least(F.lit(1.0), nt / F.lit(50.0))
-        + 0.3 * (F.lit(1.0) - F.when(nc > 0, nsym / nc).otherwise(F.lit(0.0)))
-        + 0.3
-        * F.when(nt > 0, F.least(F.lit(1.0), F.lit(5.0) * nstop / nt)).otherwise(
-            F.lit(0.0)
-        ),
-        6,
-    )
-
     sh = shingle_sets(d, n=3)
     bench = sh.where(F.col("doc_id") % 50 == 0)
     dirty = (
@@ -3325,8 +3320,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     flags = (
-        corpus.withColumn("f1", F.col("doc_id") == keeper)
-        .withColumn("f2", F.col("f1") & (score >= 0.5))
+        scored_with_f1.withColumn("f2", F.col("f1") & (F.col("q") >= 0.5))
         .join(dirty, "doc_id", "left")
         .withColumn("f3", F.col("f2") & F.col("__dirty").isNull())
         .withColumn(
@@ -3347,10 +3341,37 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         F.expr(
-            "stack(5, '0_corpus', c0, '1_exact_dedup', c1, '2_quality', c2, "
+            f"stack(5, '0_corpus', c0, '{stage1_label}', c1, '2_quality', c2, "
             "'3_decontaminated', c3, '4_sampled', c4) AS (stage, n)"
         )
     )
+
+
+def _funnel_sql() -> str:
+    return f"""
+    WITH corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0),
+    d1 AS (SELECT doc_id, text, lang, {_quality_q_sql()} AS q FROM (
+             SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+             FROM corpus) WHERE doc_id = keeper),
+    {_funnel_tail_sql("1_exact_dedup")}
+    """
+
+
+@_q("curation_funnel", _funnel_sql())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass funnel: each stage is a boolean survivorship flag on
+    one frame, so the corpus scan / dedup window / shingle join run
+    exactly ONCE and one aggregation yields every stage count (a 5-way
+    count union would re-derive the whole lineage per stage)."""
+    from pyspark.sql import Window as W
+
+    d = _tbl(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 50 != 0).select("doc_id", "text", "lang")
+    keeper = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
+    scored = corpus.withColumn("q", _quality_q_col()).withColumn(
+        "f1", F.col("doc_id") == keeper
+    )
+    return _funnel_flags_spark(spark, sf_dir, scored, "1_exact_dedup")
 
 
 # Funnel with CLUSTER-based near-dup dedup: stage 1 keeps each near-dup
@@ -3363,14 +3384,6 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the all_docs contract. Oracle: recursive-CTE reachability for the
 # clusters + window argmax for representatives.
 def _funnel_clustered_sql() -> str:
-    stop = "|".join(MARKERS["en"])
-    q_expr = f"""ROUND(0.4 * LEAST(1.0, len({_TOKENS}) / 50.0)
-               + 0.3 * (1.0 - CASE WHEN length(text) > 0
-                   THEN length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) / length(text)
-                   ELSE 0.0 END)
-               + 0.3 * CASE WHEN len({_TOKENS}) > 0
-                   THEN LEAST(1.0, 5.0 * len(regexp_extract_all(lower(text), '\\b(?:{stop})\\b')) / len({_TOKENS}))
-                   ELSE 0.0 END, 6)"""
     return f"""
     WITH RECURSIVE pairs0 AS ({_jaccard_lsh_sql()}),
     cpairs AS (SELECT doc_a, doc_b FROM pairs0
@@ -3383,7 +3396,7 @@ def _funnel_clustered_sql() -> str:
       SELECT re.src, e.dst FROM reach re JOIN cedges e ON e.src = re.r),
     lbl AS (SELECT src AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY src),
     corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0),
-    scored AS (SELECT doc_id, text, lang, {q_expr} AS q FROM corpus),
+    scored AS (SELECT doc_id, text, lang, {_quality_q_sql()} AS q FROM corpus),
     clustered AS (
       SELECT s.*, coalesce(l.cluster_id, s.doc_id) AS cluster_id
       FROM scored s LEFT JOIN lbl l USING (doc_id)),
@@ -3392,24 +3405,7 @@ def _funnel_clustered_sql() -> str:
                PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
       FROM clustered),
     d1 AS (SELECT doc_id, text, lang, q FROM ranked WHERE rn = 1),
-    d2 AS (SELECT doc_id, text, lang FROM d1 WHERE q >= 0.5),
-    tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
-    sh AS (SELECT DISTINCT doc_id, tok
-           FROM (SELECT doc_id, unnest({_SHINGLES}) AS tok FROM tt) u),
-    bench AS (SELECT DISTINCT tok FROM sh WHERE doc_id % 50 = 0),
-    dirty AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (tok)),
-    d3 AS (SELECT d2.* FROM d2 LEFT JOIN dirty ON dirty.doc_id = d2.doc_id
-           WHERE dirty.doc_id IS NULL),
-    d4 AS (SELECT * FROM d3
-           WHERE {_SAMPLE_BUCKET} <
-             CASE WHEN lang = 'en' THEN {_THR_EN} WHEN lang = 'de' THEN {_THR_DE}
-                  ELSE {_THR_DEFAULT} END)
-    SELECT stage, n FROM (
-      SELECT '0_corpus' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM corpus
-      UNION ALL SELECT '1_cluster_dedup', CAST(COUNT(*) AS BIGINT) FROM d1
-      UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM d2
-      UNION ALL SELECT '3_decontaminated', CAST(COUNT(*) AS BIGINT) FROM d3
-      UNION ALL SELECT '4_sampled', CAST(COUNT(*) AS BIGINT) FROM d4)
+    {_funnel_tail_sql("1_cluster_dedup")}
     """
 
 
@@ -3420,36 +3416,15 @@ def curation_funnel_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     A~B~C keeps ONE doc, argmax q), then quality / decontamination /
     stratified sampling flags ride the same frame. The LSH pair route
     and the shingle join each run once."""
-    from pyspark.sql import Window as W
-
-    from .functions.text import tokens
-    from .operators.curation import decontaminate, sample_flag
     from .operators.dedup import (
         duplicate_clusters,
         jaccard_pairs_lsh,
         pick_representatives,
-        shingle_sets,
     )
 
     d = _tbl(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") % 50 != 0).select("doc_id", "text", "lang")
-
-    nt = F.size(tokens(F.col("text")))
-    nc = F.length("text")
-    nsym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 \\t\\n\\r]", ""))
-    nstop = F.regexp_count(
-        F.lower(F.col("text")), F.lit("\\b(?:" + "|".join(MARKERS["en"]) + ")\\b")
-    )
-    q = F.round(
-        0.4 * F.least(F.lit(1.0), nt / F.lit(50.0))
-        + 0.3 * (F.lit(1.0) - F.when(nc > 0, nsym / nc).otherwise(F.lit(0.0)))
-        + 0.3
-        * F.when(nt > 0, F.least(F.lit(1.0), F.lit(5.0) * nstop / nt)).otherwise(
-            F.lit(0.0)
-        ),
-        6,
-    )
-    scored = corpus.withColumn("q", q)
+    scored = corpus.withColumn("q", _quality_q_col())
 
     pairs = jaccard_pairs_lsh(d, threshold=0.8, df_cap_inv=5).filter(
         (F.col("doc_a") % 50 != 0) & (F.col("doc_b") % 50 != 0)
@@ -3459,43 +3434,10 @@ def curation_funnel_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", F.col("q").alias("score")),
         score_col="score",
     )
-
-    sh = shingle_sets(d, n=3)
-    bench = sh.where(F.col("doc_id") % 50 == 0)
-    dirty = (
-        decontaminate(sh.where(F.col("doc_id") % 50 != 0), bench)
-        .select("doc_id")
-        .withColumn("__dirty", F.lit(True))
-    )
-
-    flags = (
-        scored.join(
-            reps.select("doc_id", F.col("keep").alias("f1")), "doc_id", "left"
-        )
-        .withColumn("f1", F.coalesce("f1", F.lit(False)))
-        .withColumn("f2", F.col("f1") & (F.col("q") >= 0.5))
-        .join(dirty, "doc_id", "left")
-        .withColumn("f3", F.col("f2") & F.col("__dirty").isNull())
-        .withColumn(
-            "f4",
-            F.col("f3")
-            & sample_flag(
-                "doc_id", rate=0.5, salt="s0",
-                strata_rates={"en": 0.2, "de": 0.8}, strata_col="lang",
-            ),
-        )
-    )
-    agg = flags.agg(
-        F.count("*").alias("c0"),
-        *[F.coalesce(F.sum(F.col(f).cast("long")), F.lit(0)).alias(f"c{i}")
-          for i, f in enumerate(["f1", "f2", "f3", "f4"], start=1)],
-    )
-    return agg.select(
-        F.expr(
-            "stack(5, '0_corpus', c0, '1_cluster_dedup', c1, '2_quality', c2, "
-            "'3_decontaminated', c3, '4_sampled', c4) AS (stage, n)"
-        )
-    )
+    scored_f1 = scored.join(
+        reps.select("doc_id", F.col("keep").alias("f1")), "doc_id", "left"
+    ).withColumn("f1", F.coalesce("f1", F.lit(False)))
+    return _funnel_flags_spark(spark, sf_dir, scored_f1, "1_cluster_dedup")
 
 
 # ---------------------------------------------------------------------------

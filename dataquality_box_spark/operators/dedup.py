@@ -487,6 +487,9 @@ def duplicate_clusters(
     deterministic; swap in quality-ranked selection via
     ``pick_representatives``).
     """
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1 (0 would skip propagation "
+                         "AND the non-convergence guard)")
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         edges.unionByName(
@@ -585,12 +588,14 @@ def duplicate_clusters_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # endpoint set fixed up front: star rounds may drop isolated-star
-    # edges' intermediate nodes from the edge list, but every original
-    # endpoint needs a label row at the end
+    # endpoint set fixed up front FROM THE RAW PAIRS (not the
+    # self-pair-filtered edges): a doc appearing only in self-pairs must
+    # still get a singleton label row, matching duplicate_clusters;
+    # star rounds may also drop intermediate nodes from the edge list,
+    # but every original endpoint needs a label at the end
     nodes = (
-        edges.select(F.col("src").alias("doc_id"))
-        .unionByName(edges.select(F.col("dst").alias("doc_id")))
+        pairs.select(F.col(a_col).alias("doc_id"))
+        .unionByName(pairs.select(F.col(b_col).alias("doc_id")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -152,16 +152,40 @@ def merge_upsert_bucketed(
     # existence BEFORE pinning: the pin creates the table dir, which must
     # not turn the first-ever merge into a read of an empty directory
     exists = io.table_exists(spark, table)
-    if not io.catalog:
-        _pin_n_buckets(io, table, n_buckets)
+    legacy = False
     if exists:
-        existing = io.read(spark, table).filter(F.col(BUCKET_COL).isin(touched))
+        existing = io.read(spark, table)
+        if BUCKET_COL in existing.columns:
+            existing = existing.filter(F.col(BUCKET_COL).isin(touched))
+        else:
+            # one-time migration from an unbucketed legacy target (plain
+            # merge_upsert layout): bucket every existing row and rewrite
+            # the whole table ONCE; later merges are partition-bounded.
+            # Fallback-only path — catalog tables created here always
+            # carry the bucket partition column.
+            if io.catalog:
+                raise NotImplementedError(
+                    f"catalog table '{table}' has no {BUCKET_COL} partition "
+                    "column; migrate it to the bucketed layout explicitly"
+                )
+            legacy = True
+            existing = existing.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
         surviving = existing.join(
             up.select(*keys).distinct(), on=keys, how="left_anti"
         )
         merged = surviving.unionByName(up, allowMissingColumns=True)
     else:
         merged = up
+    if legacy:
+        # materialize BEFORE clearing the flat legacy files the plan
+        # reads from; dynamic overwrite alone would leave them beside
+        # the new __kb=* dirs as stale duplicates
+        import shutil
+
+        merged = merged.localCheckpoint(eager=True)
+        shutil.rmtree(io._dir(table), ignore_errors=True)
+    if not io.catalog:
+        _pin_n_buckets(io, table, n_buckets)
     io.overwrite_partitions_dynamic(merged, table, BUCKET_COL)
 
 

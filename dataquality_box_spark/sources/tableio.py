@@ -146,16 +146,33 @@ class TableIO:
         capability probe (``_is_v2_catalog``): V2 catalogs (Iceberg) get
         the snapshot-atomic ``overwritePartitions``; session-catalog (v1)
         tables run the equivalent dynamic partition-overwrite
-        ``insertInto`` (only partitions in ``df`` rewrite)."""
+        ``insertInto`` (only partitions in ``df`` rewrite). The probe is
+        per-CATALOG, but a registered V2 SparkSessionCatalog can still
+        DELEGATE individual v1 (parquet saveAsTable) tables to the
+        session catalog — those reject the V2 writer with error class
+        ``_LEGACY_ERROR_TEMP_1012`` ("Cannot write into v1 table"), and
+        fall through to the insertInto path per table (matched on the
+        error-class id, never the version-specific message text)."""
+        from pyspark.errors import AnalysisException
+
         self._ensure_catalog_table(df, table, part_col)
         spark = df.sparkSession
         if self._is_v2_catalog(spark):
-            (
-                df.writeTo(self._qualified(table))
-                .option("compression-codec", self.compression)
-                .overwritePartitions()
-            )
-            return
+            try:
+                (
+                    df.writeTo(self._qualified(table))
+                    .option("compression-codec", self.compression)
+                    .overwritePartitions()
+                )
+                return
+            except AnalysisException as ex:
+                cond = (
+                    ex.getCondition()
+                    if hasattr(ex, "getCondition")
+                    else ex.getErrorClass()
+                )
+                if cond != "_LEGACY_ERROR_TEMP_1012":
+                    raise
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

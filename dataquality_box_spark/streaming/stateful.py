@@ -188,81 +188,103 @@ def conversation_flags_stateful(turns_stream: DataFrame) -> DataFrame:
 REORDER_STATE_SCHEMA = "last_role string, last_ts_us long, buf_json string"
 
 
-def flag_turns_reordering(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
+def make_flag_turns_reordering(inversion_tolerance_sec: float = 600.0):
     """Out-of-order-tolerant per-turn flags: a watermark reorder buffer.
 
-    Rows are held in state until the event-time WATERMARK passes their
-    ``ts``; only then do they emit, in (turn_idx, ts) order, through the
-    same ``_flag_block`` boundary logic as the in-order tracker. The
-    arrival-order contract disappears: any delivery permutation whose
-    event-time disorder fits inside the watermark delay reproduces the
-    batch computation EXACTLY (parity-tested with fully shuffled bucket
-    delivery). Rows later than that — arriving after the watermark
-    already passed their ts — are not lost (Spark does not filter late
-    rows for arbitrary stateful ops, verified) but emit in a later flush,
-    where flags relative to already-emitted neighbors may differ from
-    batch: the standard bounded-lateness trade.
+    Rows are held in state and emit — in (turn_idx, ts) order, through
+    the same ``_flag_block`` boundary logic as the in-order tracker —
+    only as the watermark-ready PREFIX of the sorted buffer whose rows
+    satisfy ``ts <= watermark - inversion_tolerance``. Emission must be
+    a prefix cut, never a filter: a blocked row blocks everything that
+    sorts after it, else a later-sorting row would emit against the
+    wrong predecessor and its flags diverge from batch.
 
-    Buffered tails flush when the watermark advances past them — via
-    later arrivals, Spark's no-data micro-batches, or the next
-    incremental run against the same checkpoint (EventTimeTimeout fires
-    a row-less invocation; verified under availableNow). The buffer is
-    JSON in the state store: per-conversation and watermark-bounded, so
-    its size is arrival-rate x delay, never the stream length.
+    Exact batch parity holds under TWO explicit disorder bounds:
 
-    Requires ``withWatermark('ts', delay)`` upstream and
-    ``timeoutConf=EventTimeTimeout``.
+      1. arrival lateness: every row arrives before the watermark passes
+         its ``ts`` (the ``withWatermark`` delay — standard);
+      2. turn/event-time inversion: within a conversation, a turn's ts
+         exceeds any LATER turn's ts by at most
+         ``inversion_tolerance_sec`` (sort order is (turn_idx, ts), so
+         a not-yet-arrived row can sort BEFORE a buffered row whose own
+         ts the watermark already passed; holding rows an extra
+         tolerance window makes that impossible — any such future row
+         would have to be out-of-contract late).
+
+    Rows violating the bounds are not lost (Spark does not filter late
+    rows for arbitrary stateful ops — verified), but emit in a later
+    flush where flags relative to already-emitted neighbors may differ
+    from batch: the standard bounded-lateness trade.
+
+    Buffered tails flush when the watermark advances — via later
+    arrivals, Spark's no-data micro-batches, or the next incremental run
+    against the same checkpoint (EventTimeTimeout fires a row-less
+    invocation; verified under availableNow). The buffer is JSON in the
+    state store: per-conversation and watermark-bounded, so its size is
+    arrival-rate x (delay + tolerance), never the stream length.
     """
     import json
 
-    (conv_id,) = key
-    last_role, last_ts_us, buf_json = (
-        state.get if state.exists else (None, None, "[]")
-    )
-    buf = json.loads(buf_json or "[]")
-    if not state.hasTimedOut:
-        for pdf in pdfs:
-            for r in pdf.itertuples(index=False):
-                ts_us = int(pd.Timestamp(r.ts).value // 1_000)
-                # NaN -> None so nullable string cols survive the JSON trip
-                tool = None if pd.isna(r.tool) else str(r.tool)
-                text = None if pd.isna(r.text) else str(r.text)
-                buf.append([int(r.turn_idx), str(r.role), text, tool, ts_us])
-    wm_us = state.getCurrentWatermarkMs() * 1_000
-    buf.sort(key=lambda b: (b[0], b[4]))
-    ready = [b for b in buf if b[4] <= wm_us]
-    rest = [b for b in buf if b[4] > wm_us]
-    if ready:
-        block = pd.DataFrame(
-            {
-                "turn_idx": pd.array([b[0] for b in ready], dtype="int32"),
-                "role": [b[1] for b in ready],
-                "text": [b[2] for b in ready],
-                "tool": [b[3] for b in ready],
-                "ts": [pd.Timestamp(b[4], unit="us") for b in ready],
-            }
+    tol_us = int(inversion_tolerance_sec * 1_000_000)
+
+    def flag_turns_reordering(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        last_role, last_ts_us, buf_json = (
+            state.get if state.exists else (None, None, "[]")
         )
-        out, last_role, last_ts_us = _flag_block(
-            conv_id, block, last_role, last_ts_us
-        )
-        yield out
-    state.update((last_role, last_ts_us, json.dumps(rest)))
-    if rest:
-        # wake when the watermark can next have moved past buffered rows
-        # (must be strictly above the current watermark)
-        wm_ms = wm_us // 1_000
-        state.setTimeoutTimestamp(max(wm_ms + 1, 1))
+        buf = json.loads(buf_json or "[]")
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for r in pdf.itertuples(index=False):
+                    ts_us = int(pd.Timestamp(r.ts).value // 1_000)
+                    # NaN -> None so nullable strings survive the JSON trip
+                    tool = None if pd.isna(r.tool) else str(r.tool)
+                    text = None if pd.isna(r.text) else str(r.text)
+                    buf.append([int(r.turn_idx), str(r.role), text, tool, ts_us])
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        horizon = wm_us - tol_us
+        buf.sort(key=lambda b: (b[0], b[4]))
+        n_ready = 0
+        while n_ready < len(buf) and buf[n_ready][4] <= horizon:
+            n_ready += 1
+        ready, rest = buf[:n_ready], buf[n_ready:]
+        if ready:
+            block = pd.DataFrame(
+                {
+                    "turn_idx": pd.array([b[0] for b in ready], dtype="int32"),
+                    "role": [b[1] for b in ready],
+                    "text": [b[2] for b in ready],
+                    "tool": [b[3] for b in ready],
+                    "ts": [pd.Timestamp(b[4], unit="us") for b in ready],
+                }
+            )
+            out, last_role, last_ts_us = _flag_block(
+                conv_id, block, last_role, last_ts_us
+            )
+            yield out
+        state.update((last_role, last_ts_us, json.dumps(rest)))
+        if rest:
+            # wake when the watermark can next have moved past buffered
+            # rows (must be strictly above the current watermark)
+            wm_ms = wm_us // 1_000
+            state.setTimeoutTimestamp(max(wm_ms + 1, 1))
+
+    return flag_turns_reordering
 
 
-def conversation_flags_reordering(turns_stream: DataFrame) -> DataFrame:
+def conversation_flags_reordering(
+    turns_stream: DataFrame, inversion_tolerance_sec: float = 600.0
+) -> DataFrame:
     """Streaming per-turn conversation flags WITHOUT the arrival-order
     contract: watermark reorder buffer per conversation. The input must
     already carry ``withWatermark('ts', <delay>)`` with a delay covering
-    the source's worst event-time disorder."""
+    the source's worst arrival lateness; ``inversion_tolerance_sec``
+    must cover the worst intra-conversation turn/event-time inversion
+    (see ``make_flag_turns_reordering``)."""
     return turns_stream.groupBy("conv_id").applyInPandasWithState(
-        flag_turns_reordering,
+        make_flag_turns_reordering(inversion_tolerance_sec),
         outputStructType=FLAGGED_TURNS_SCHEMA,
         stateStructType=REORDER_STATE_SCHEMA,
         outputMode="append",

@@ -162,6 +162,7 @@ def full_pipeline_stream(
     stream: DataFrame,
     cfg: QualityConfig = DEFAULT_CONFIG,
     reorder_watermark: str | None = None,
+    reorder_inversion_tolerance_sec: float = 600.0,
 ) -> DataFrame:
     """The COMPLETE filter+scrub pipeline as a continuous query — the
     streaming twin of ``plans.pipeline.run_pipeline``.
@@ -195,7 +196,8 @@ def full_pipeline_stream(
 
     if reorder_watermark is not None:
         conv = conversation_flags_reordering(
-            stream.withWatermark("ts", reorder_watermark)
+            stream.withWatermark("ts", reorder_watermark),
+            inversion_tolerance_sec=reorder_inversion_tolerance_sec,
         )
     else:
         conv = conversation_flags_stateful(stream)

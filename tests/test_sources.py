@@ -152,3 +152,38 @@ def test_codec_level_suffix_maps_to_parquet_level_option(spark, tmp_path):
     df = spark.range(10)
     io.overwrite_partition(df.withColumn("p", df.id % 2), "t", "p", 0)
     assert io.read(spark, "t").count() > 0
+
+
+def test_bucketed_merge_migrates_legacy_unbucketed_table(spark, tmp_path):
+    """A table created by plain merge_upsert (flat, no bucket col) must
+    merge cleanly through merge_upsert_bucketed: one-time full rewrite
+    into the bucketed layout, no stale flat files, rows correct."""
+    import os
+
+    from dataquality_box_spark.sources.merge import (
+        BUCKET_COL,
+        merge_upsert,
+        merge_upsert_bucketed,
+        read_merged,
+    )
+
+    io = TableIO(str(tmp_path))
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    merge_upsert(spark, io, base, "t", ["k"])  # legacy flat layout
+
+    upd = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
+    merge_upsert_bucketed(spark, io, upd, "t", keys=["k"], n_buckets=4)
+
+    got = {r["k"]: r["v"] for r in read_merged(spark, io, "t").collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+    # layout is now bucketed; no flat legacy part files remain at root
+    entries = os.listdir(os.path.join(str(tmp_path), "t"))
+    assert any(e.startswith(f"{BUCKET_COL}=") for e in entries)
+    assert not any(e.startswith("part-") for e in entries)
+    # and later merges are partition-bounded as usual
+    merge_upsert_bucketed(
+        spark, io, spark.createDataFrame([("c", 30)], "k string, v int"),
+        "t", keys=["k"], n_buckets=4,
+    )
+    got = {r["k"]: r["v"] for r in read_merged(spark, io, "t").collect()}
+    assert got == {"a": 1, "b": 20, "c": 30}

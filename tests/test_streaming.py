@@ -295,3 +295,79 @@ def test_full_streaming_pipeline_out_of_order_delivery(
     pd.testing.assert_frame_equal(got, want)
     # the shuffle actually split conversations across out-of-order batches
     assert want["bad_role_sequence"].sum() > 0
+
+
+def test_reorder_buffer_prefix_cut_mid_stream(spark, tmp_path):
+    """The reviewer scenario: a planted ts inversion straddling a
+    mid-stream watermark cut. turn1 (ts 12:00) is buffered but not yet
+    watermark-ready while turn2 (ts 11:00) already is — emission must be
+    a PREFIX cut (emit turn0 only, hold turn1 AND turn2), else turn2
+    emits against turn0 and its out_of_order_ts flag is lost."""
+    import os
+
+    import pandas as pd
+
+    from dataquality_box_spark.streaming.stateful import (
+        conversation_flags_reordering,
+    )
+
+    d = str(tmp_path / "prefix_cut")
+    os.makedirs(d)
+    t = lambda hm: pd.Timestamp(f"2026-01-01 {hm}:00")
+    conv = pd.DataFrame(
+        {
+            "conv_id": ["cx"] * 3,
+            "turn_idx": pd.array([0, 1, 2], dtype="int32"),
+            "role": ["user", "assistant", "user"],
+            "text": ["a", "b", "c"],
+            "tool": ["-", "-", "-"],
+            "ts": pd.Series([t("10:00"), t("12:00"), t("11:00")]).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    # delivery: whole conversation first; then a sentinel at 11:50 so the
+    # watermark (delay 10m) hits 11:40 -> emit horizon (tol 10m) = 11:30,
+    # squarely between turn2's 11:00 and turn1's 12:00; then a far-future
+    # sentinel to flush the tail
+    def sent(ts, idx):
+        return pd.DataFrame(
+            {
+                "conv_id": ["__s__"], "turn_idx": pd.array([idx], dtype="int32"),
+                "role": ["user"], "text": ["s"], "tool": ["-"],
+                "ts": pd.Series([ts]).astype("datetime64[us]"),
+            }
+        )
+
+    files = [conv, sent(t("11:50"), 0), sent(pd.Timestamp("2027-01-01"), 1)]
+    for i, pdf in enumerate(files):
+        p = os.path.join(d, f"f{i}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i * 1000,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = run_stream_to_memory(
+        spark,
+        conversation_flags_reordering(stream, inversion_tolerance_sec=600),
+        "prefix_cut_q",
+    )
+    got = {
+        r["turn_idx"]: (
+            r["bad_role_sequence"], r["broken_tool_chain"], r["out_of_order_ts"]
+        )
+        for r in out.filter("conv_id = 'cx'").collect()
+    }
+    # batch truth over (turn_idx, ts) order: only turn2 is out-of-order
+    assert got == {
+        0: (False, False, False),
+        1: (False, False, False),
+        2: (False, False, True),
+    }

@@ -83,3 +83,45 @@ def test_catalog_bucketed_write_registers_qualified_table(spark, cat_io):
     cat_io.write_bucketed(df, "b", "k", 4, sort_cols=["k"])
     assert spark.catalog.tableExists(f"{DB}.b")
     assert spark.table(f"{DB}.b").count() == 100
+
+
+def test_catalog_bucketed_merge_upserts_and_prunes(spark, cat_io):
+    """merge_upsert_bucketed in CATALOG mode: creates the __kb-partitioned
+    catalog table, upserts idempotently, and the read side prunes to the
+    touched bucket partitions (the same code path Iceberg would run via
+    overwritePartitions)."""
+    from dataquality_box_spark.sources.merge import (
+        BUCKET_COL,
+        key_bucket,
+        merge_upsert_bucketed,
+        read_merged,
+    )
+
+    base = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(20)], "k string, v int"
+    )
+    merge_upsert_bucketed(spark, cat_io, base, "m", keys=["k"], n_buckets=4)
+    assert spark.catalog.tableExists(f"{DB}.m")
+    got = {r["k"]: r["v"] for r in read_merged(spark, cat_io, "m").collect()}
+    assert got == {f"k{i}": i for i in range(20)}
+
+    # upsert: one key updated, one inserted; everything else survives
+    upd = spark.createDataFrame([("k3", 300), ("new", 999)], "k string, v int")
+    merge_upsert_bucketed(spark, cat_io, upd, "m", keys=["k"], n_buckets=4)
+    got = {r["k"]: r["v"] for r in read_merged(spark, cat_io, "m").collect()}
+    want = {f"k{i}": i for i in range(20)} | {"k3": 300, "new": 999}
+    assert got == want
+
+    # replay is idempotent
+    merge_upsert_bucketed(spark, cat_io, upd, "m", keys=["k"], n_buckets=4)
+    got2 = {r["k"]: r["v"] for r in read_merged(spark, cat_io, "m").collect()}
+    assert got2 == want
+
+    # read-side partition pruning: a bucket-equality filter reads only
+    # that bucket's files
+    b3 = spark.createDataFrame([("k3",)], "k string").select(
+        key_bucket(["k"], 4).alias("b")
+    ).collect()[0]["b"]
+    pruned = cat_io.read(spark, "m").filter(F.col(BUCKET_COL) == b3)
+    files = pruned.inputFiles()
+    assert files and all(f"{BUCKET_COL}={b3}" in f for f in files)

@@ -3440,6 +3440,181 @@ def curation_funnel_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _funnel_flags_spark(spark, sf_dir, scored_f1, "1_cluster_dedup")
 
 
+# Gopher-style repetition quality signals (Rae et al., published
+# heuristics adapted to the token-soup corpus: duplicate-token fraction
+# and top-bigram/top-trigram occupancy — high values mark degenerate /
+# boilerplate text the quality filter should drop). One explode + hash
+# agg per n-gram width, joined on doc_id; everything JVM-side.
+@_q(
+    "doc_repetition_signals",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    base AS (SELECT doc_id, len(tk) AS nt,
+                    len(list_distinct(tk)) AS nd FROM tt),
+    bi AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot_c FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+          FROM tt, unnest(range(1, len(tk))) AS u(i)) GROUP BY doc_id, g)
+      GROUP BY doc_id),
+    tri AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot_c FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+          FROM tt, unnest(range(1, len(tk) - 1)) AS u(i)) GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN b.nt > 0 THEN 1.0 - nd / CAST(b.nt AS DOUBLE) ELSE 0.0 END, 6)
+             AS dup_token_frac,
+           ROUND(coalesce(bi.top_c / CAST(bi.tot_c AS DOUBLE), 0.0), 6) AS top_bigram_frac,
+           ROUND(coalesce(tri.top_c / CAST(tri.tot_c AS DOUBLE), 0.0), 6) AS top_trigram_frac
+    FROM base b LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(tk).alias("nt"),
+        F.size(F.array_distinct(tk)).alias("nd"),
+    )
+
+    def top_frac(n: int, alias: str) -> DataFrame:
+        idxs = F.when(
+            F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idxs,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, (i + k).cast("int")) for k in range(n)]
+            ),
+        )
+        per_gram = (
+            d.select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        return per_gram.groupBy("doc_id").agg(
+            F.round(
+                F.max("c") / F.sum("c").cast("double"), 6
+            ).alias(alias)
+        )
+
+    bi = top_frac(2, "top_bigram_frac")
+    tri = top_frac(3, "top_trigram_frac")
+    dup = F.when(
+        F.col("nt") > 0, F.lit(1.0) - F.col("nd") / F.col("nt").cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("nt").cast("long").alias("n_tokens"),
+            F.round(dup, 6).alias("dup_token_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+        )
+    )
+
+
+# int8 scalar-quantized embedding search: per-vector symmetric scale
+# (max|x| / 127), floor(x/scale + 0.5) codes — floor keeps both engines
+# bit-agreeing where ROUND's half-rule could differ. The integer dot /
+# norms are EXACT in both engines; only the final normalize touches
+# floats. 4x smaller vector storage at 100 TB embedding scale; PQ/ADC is
+# the named next step past scalar quantization.
+_Q8_SCALE_DUCK = "list_max(list_transform({t}.embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+
+
+def _q8_duck(t: str) -> str:
+    return (
+        f"list_transform({t}.embedding, x -> CAST(floor(CAST(x AS DOUBLE) / "
+        f"nullif({_Q8_SCALE_DUCK.format(t=t)}, 0) + 0.5) AS BIGINT))"
+    )
+
+
+@_q(
+    "embedding_int8_topk",
+    f"""
+    WITH q8 AS (
+      SELECT e.vec_id, {_q8_duck('e')} AS qv
+      FROM embeddings e),
+    nrm AS (
+      SELECT vec_id, qv,
+             list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS n2
+      FROM q8),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_reduce(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i]),
+                         (a, b) -> a + b)
+               / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS qcos
+      FROM nrm q JOIN nrm c
+        ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       AND q.n2 > 0 AND c.n2 > 0),
+    ranked AS (
+      SELECT query_id, cand_id, qcos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id) AS rnk
+      FROM pairs)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, cand_id, ROUND(qcos, 6) AS qcos
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    ) / F.lit(127.0)
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") / F.nullif(F.col("__scale"), F.lit(0.0)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    n2 = F.aggregate(
+        F.transform("qv", lambda x: x * x), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    q8 = (
+        e.withColumn("__scale", scale)
+        .withColumn("qv", qv)
+        .withColumn("n2", n2)
+        .filter(F.col("n2") > 0)
+        .select("vec_id", "qv", "n2")
+    )
+    q = q8.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    c = q8.select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qa", "qb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    qcos = idot / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cand_id"))
+    return (
+        q.join(F.broadcast(c), F.col("cand_id") != F.col("query_id"))
+        .withColumn("qcos", qcos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id", F.col("rnk").cast("int").alias("rnk"), "cand_id",
+            F.round("qcos", 6).alias("qcos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

@@ -584,3 +584,22 @@ def test_star_clusters_long_chain_converges_in_log_rounds(spark):
     assert all(r["cluster_id"] == 1 for r in rows)
     assert sum(1 for r in rows if r["keep"]) == 1
     assert rounds[0] <= 15, rounds  # ~log2(1024)=10 alternations, not ~1000
+
+
+def test_cluster_ops_on_empty_pairs(spark):
+    """Zero near-dup pairs: both CC variants return empty without error,
+    and with all_docs every doc comes back as a kept singleton."""
+    from dataquality_box_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    for fn in (duplicate_clusters, duplicate_clusters_star):
+        assert fn(empty).count() == 0, fn.__name__
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in fn(empty, all_docs=docs).collect()
+        }
+        assert got == {1: (1, True), 2: (2, True)}, fn.__name__

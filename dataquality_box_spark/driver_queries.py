@@ -3615,6 +3615,115 @@ def embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-based language sampling (the published multilingual
+# up/down-sampling scheme: per-language mass p_l^alpha renormalized,
+# mC4 / XLM-R style). alpha = 0.5 deliberately: sqrt is correctly
+# rounded IEEE in BOTH engines, so every double here is bit-identical
+# cross-engine (pow() implementations can differ in the last ulp).
+# Inclusion is the same md5 hash gate the stratified sampler uses —
+# deterministic, resume-stable, map-side.
+_LT_TARGET = 300  # target sampled docs at any corpus size (rate caps at 1)
+
+
+@_q(
+    "language_temperature_sample",
+    f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    mass AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS m FROM counts),
+    rates AS (
+      SELECT lang, n,
+             LEAST(1.0, (m / (SELECT SUM(m) FROM mass)) * {_LT_TARGET} / n) AS rate
+      FROM mass),
+    gated AS (
+      SELECT d.lang,
+             CAST('0x' || substr(md5('lt0' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               < floor(r.rate * 4294967296.0) AS hit
+      FROM documents d JOIN rates r USING (lang))
+    SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, ROUND(r.rate, 6) AS sample_rate,
+           CAST((SELECT COUNT(*) FROM gated g WHERE g.lang = r.lang AND g.hit) AS BIGINT)
+             AS n_sampled
+    FROM rates r
+    """,
+)
+def language_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tbl(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    mass = counts.withColumn("m", F.sqrt(F.col("n").cast("double")))
+    total_m = mass.agg(F.sum("m").alias("__tm"))
+    rates = mass.crossJoin(F.broadcast(total_m)).select(
+        "lang",
+        "n",
+        F.least(
+            F.lit(1.0), (F.col("m") / F.col("__tm")) * F.lit(_LT_TARGET) / F.col("n")
+        ).alias("rate"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("lt0"), F.col("doc_id").cast("string")).cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    gated = (
+        d.join(F.broadcast(rates), "lang")
+        .select(
+            "lang",
+            (bucket < F.floor(F.col("rate") * F.lit(4294967296.0))).alias("hit"),
+        )
+        .groupBy("lang")
+        .agg(F.sum(F.col("hit").cast("long")).alias("n_sampled"))
+    )
+    return rates.join(gated, "lang").select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("rate", 6).alias("sample_rate"),
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+    )
+
+
+# Per-doc contamination SCORE (the graded companion of the binary
+# decontaminate drop): fraction of a doc's distinct shingles found in
+# the benchmark shingle set — thresholdable downstream, and the overlap
+# join only carries benchmark-matching shingles (broadcast-sized).
+@_q(
+    "decontam_overlap_frac",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, tok
+           FROM (SELECT doc_id, unnest({_SHINGLES}) AS tok FROM tt) u),
+    bench AS (SELECT DISTINCT tok FROM sh WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, tok FROM sh WHERE doc_id % 50 <> 0),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hit
+      FROM corpus c JOIN bench b USING (tok) GROUP BY c.doc_id)
+    SELECT p.doc_id, CAST(p.n_sh AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           ROUND(coalesce(h.n_hit, 0) / CAST(p.n_sh AS DOUBLE), 6) AS overlap_frac
+    FROM per_doc p LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontam_overlap_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shingle_sets
+
+    d = _tbl(spark, sf_dir, "documents")
+    sh = shingle_sets(d, n=3)
+    bench = sh.where(F.col("doc_id") % 50 == 0).select("tok").distinct()
+    corpus = sh.where(F.col("doc_id") % 50 != 0)
+    per_doc = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        corpus.join(F.broadcast(bench), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_sh").cast("long").alias("n_shingles"),
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) / F.col("n_sh").cast("double"), 6
+        ).alias("overlap_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

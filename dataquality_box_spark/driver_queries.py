@@ -1255,7 +1255,10 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
         norm.alias("cn"),
     )
-    pairs = q.join(F.broadcast(c), F.col("cand_id") != F.col("query_id"))
+    # broadcast the QUERY side (10 rows) and stream the corpus-sized
+    # candidate side — the direction that survives a 100x corpus (the
+    # reverse would broadcast the whole embedding table)
+    pairs = c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
     cosine = _dot_spark(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -3603,8 +3606,9 @@ def embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cand_id"))
+    # query side broadcasts (tiny); candidate side streams
     return (
-        q.join(F.broadcast(c), F.col("cand_id") != F.col("query_id"))
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .withColumn("qcos", qcos)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -3646,11 +3650,15 @@ _LT_TARGET = 300  # target sampled docs at any corpus size (rate caps at 1)
     """,
 )
 def language_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     d = _tbl(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count("*").alias("n"))
     mass = counts.withColumn("m", F.sqrt(F.col("n").cast("double")))
-    total_m = mass.agg(F.sum("m").alias("__tm"))
-    rates = mass.crossJoin(F.broadcast(total_m)).select(
+    # global mass via an unpartitioned window over the LANGUAGE frame
+    # (a handful of rows) — one aggregation, no cross join, and the
+    # counts scan is not re-derived for a separate total
+    rates = mass.withColumn("__tm", F.sum("m").over(W.partitionBy())).select(
         "lang",
         "n",
         F.least(

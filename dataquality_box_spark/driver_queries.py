@@ -2056,6 +2056,106 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, cen, F.col("vec_id") < 5, k=3)
 
 
+# Product quantization (the m-byte-codes compression path next to IVF):
+# per-subspace k-means codebooks trained jointly (operators/ann.py),
+# vectors encoded to m codes, search by ASYMMETRIC DISTANCE — each query
+# builds its m*ksub lookup table of exact subvector distances and a
+# candidate costs m table lookups; raw vectors are never read at query
+# time. Oracle: the same fixed-unroll SQL discipline as the IVF twin
+# (seed -> 2 Lloyd rounds -> encode -> ADC), every float op mirrored
+# (slice, per-term round-9 squared diffs, round-4 means, round-6 sums).
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_SUBLEN = 4, 8, 2, 16
+
+
+def _pq_l2_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_PQ_SUBLEN + 1}), i -> "
+        f"round(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]), 9)), (x, y) -> x + y)"
+    )
+
+
+def _pq_sql() -> str:
+    ctes = [
+        f"""subs AS (
+      SELECT vec_id, s.j AS sub_id,
+             list_transform(range(1, {_PQ_SUBLEN + 1}),
+                            i -> CAST(embedding[s.j * {_PQ_SUBLEN} + i] AS DOUBLE)) AS sv
+      FROM embeddings, (SELECT unnest(range(0, {_PQ_M})) AS j) s)""",
+        f"""seed_ids AS (
+      SELECT vec_id, ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM embeddings QUALIFY code < {_PQ_KSUB})""",
+        """cb0 AS (
+      SELECT s.sub_id, i.code,
+             list_transform(s.sv, x -> round(x, 4)) AS cv
+      FROM subs s JOIN seed_ids i USING (vec_id))""",
+        f"pos AS (SELECT unnest(range(1, {_PQ_SUBLEN + 1})) AS i)",
+    ]
+    for it in range(_PQ_ITERS):
+        ctes.append(
+            f"""asg{it} AS (
+      SELECT vec_id, sub_id, code, sv FROM (
+        SELECT s.vec_id, s.sub_id, c.code, s.sv,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+                 ORDER BY {_pq_l2_duck('s.sv', 'c.cv')} ASC, c.code ASC) AS rn
+        FROM subs s JOIN cb{it} c ON c.sub_id = s.sub_id) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""cb{it + 1} AS (
+      SELECT sub_id, code, list(val ORDER BY i) AS cv FROM (
+        SELECT a.sub_id, a.code, p.i, ROUND(AVG(a.sv[p.i]), 4) AS val
+        FROM asg{it} a CROSS JOIN pos p
+        GROUP BY a.sub_id, a.code, p.i) GROUP BY sub_id, code)"""
+        )
+    # encode with the final codebooks; ADC for queries vec_id < 10
+    ctes.append(
+        f"""enc AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT s.vec_id, s.sub_id, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+                 ORDER BY {_pq_l2_duck('s.sv', 'c.cv')} ASC, c.code ASC) AS rn
+        FROM subs s JOIN cb{_PQ_ITERS} c ON c.sub_id = s.sub_id) WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""lut AS (
+      SELECT s.vec_id AS query_id, s.sub_id, c.code,
+             {_pq_l2_duck('s.sv', 'c.cv')} AS d2
+      FROM subs s JOIN cb{_PQ_ITERS} c ON c.sub_id = s.sub_id
+      WHERE s.vec_id < 10)"""
+    )
+    return ",\n    ".join(ctes)
+
+
+@_q(
+    "pq_adc_ann",
+    f"""
+    WITH {_pq_sql()},
+    pairs AS (
+      SELECT l.query_id, e.vec_id AS cand_id, ROUND(SUM(l.d2), 6) AS adc_d2
+      FROM enc e JOIN lut l ON l.sub_id = e.sub_id AND l.code = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id),
+    ranked AS (
+      SELECT query_id, cand_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_d2 ASC, cand_id ASC) AS rnk
+      FROM pairs)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, cand_id, adc_d2
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebooks (m=4 subspaces x 8 codes, 2 Lloyd rounds) -> encode
+    -> ADC top-3 for queries vec_id < 10. Library: operators/ann.py."""
+    from .operators.ann import pq_adc_topk, pq_encode, pq_train_codebooks
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    cb = pq_train_codebooks(e, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+    codes = pq_encode(e, cb, m=_PQ_M)
+    queries = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    return pq_adc_topk(queries, codes, cb, m=_PQ_M, k=3)
+
+
 # BPE-ish tokenizer: GPT-2-style pre-tokenization regex restricted to the
 # lookahead-free Java/RE2/Python common subset (contractions, letter runs,
 # digit runs, punctuation runs, each with optional leading space) — the

@@ -176,6 +176,183 @@ def ivf_kmeans_centroids(
     return cen
 
 
+def _l2_rounded(a, b):
+    """Deterministic squared L2: ordered fold of per-term rounded squared
+    differences (same rounding discipline as ``dot_rounded``)."""
+    diffs = F.zip_with(
+        F.transform(a, lambda x: x.cast("double")),
+        F.transform(b, lambda x: x.cast("double")),
+        lambda x, y: F.round((x - y) * (x - y), 9),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_subvectors(
+    emb: DataFrame, m: int, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Explode each vector into its ``m`` contiguous subvectors:
+    (id, sub_id, subvec). One narrow pass; downstream PQ training runs
+    ONE Lloyd loop over this frame for all subspaces jointly instead of
+    m separate k-means jobs (m fewer corpus scans per iteration)."""
+    dim = F.size(F.col(emb_col))
+    sub_len = (dim / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(
+            F.transform(F.col(emb_col), lambda x: x.cast("double")),
+            j * sub_len + 1,
+            sub_len,
+        ),
+    )
+    return emb.select(
+        F.col(id_col), F.posexplode(subs).alias("sub_id", "subvec")
+    )
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: per-subspace k-means (L2), all m
+    subspaces trained JOINTLY — assignment is one broadcast join of the
+    m*ksub codebook rows against the exploded subvector frame, update is
+    one per-(sub_id, code, coord) mean — so each Lloyd iteration costs
+    the same two passes as plain k-means regardless of m. Seeds are the
+    ksub hash-spread vectors per subspace (same decorrelation argument
+    as ``seed_centroids``). Deterministic: means rounded to 4 decimals,
+    ties in assignment break to the smaller code.
+
+    Returns (sub_id, code, subvec). Storage story at 100 TB: a 64-dim
+    float32 vector (256 B) encodes to m=8 codes (8 B) + one shared
+    m*ksub*8-dim codebook — a 32x corpus-side reduction; IVF+PQ (encode
+    residuals per inverted list) is the named composition step.
+    """
+    subs = pq_subvectors(emb, m, id_col, emb_col)
+    hk = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w_seed = Window.partitionBy("sub_id").orderBy(hk.asc(), F.col(id_col).asc())
+    cen = (
+        subs.withColumn("__r", F.row_number().over(w_seed))
+        .filter(F.col("__r") <= ksub)
+        .select(
+            "sub_id",
+            (F.col("__r") - 1).alias("code"),
+            F.transform(F.col("subvec"), lambda x: F.round(x, 4)).alias("subvec"),
+        )
+    )
+    for _ in range(iters):
+        assign = _pq_assign(subs, cen)
+        cen = (
+            assign.select(
+                "sub_id",
+                "code",
+                F.posexplode(F.col("subvec")).alias("pos", "val"),
+            )
+            .groupBy("sub_id", "code", "pos")
+            .agg(F.round(F.avg("val"), 4).alias("val"))
+            .groupBy("sub_id", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("subvec")
+            )
+        )
+    return cen
+
+
+def _pq_assign(subs: DataFrame, cen: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace): broadcast the
+    m*ksub codebook rows, join on sub_id, argmin L2 (ties to the smaller
+    code). Keyed window on (id, sub_id)."""
+    c = cen.select("sub_id", "code", F.col("subvec").alias("__cv"))
+    d2 = _l2_rounded(F.col("subvec"), F.col("__cv"))
+    id_col = subs.columns[0]
+    w = Window.partitionBy(id_col, "sub_id").orderBy(
+        F.col("__d2").asc(), F.col("code").asc()
+    )
+    return (
+        subs.join(F.broadcast(c), "sub_id")
+        .withColumn("__d2", d2)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "sub_id", "code", "subvec")
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to their PQ code arrays: (id, codes array<int>),
+    codes ordered by sub_id. One broadcast assign + one groupBy(id)."""
+    assign = _pq_assign(pq_subvectors(emb, m, id_col, emb_col), codebooks)
+    return assign.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation search: each query builds its
+    m*ksub lookup table of exact subvector->codebook-entry distances
+    (queries are few; the LUT frame broadcasts), and a candidate's
+    approximate distance is the SUM of m table lookups on its codes —
+    the raw corpus vectors are never touched at query time, only the
+    m-byte codes. Plan: explode codes to (cand, sub_id, code), broadcast-
+    join the LUT, one groupBy(query, cand) sum, top-k ascending."""
+    lut = (
+        pq_subvectors(queries, m, id_col, emb_col)
+        .withColumnRenamed(id_col, "query_id")
+        .join(
+            F.broadcast(
+                codebooks.select("sub_id", "code", F.col("subvec").alias("__cv"))
+            ),
+            "sub_id",
+        )
+        .select(
+            "query_id",
+            "sub_id",
+            "code",
+            _l2_rounded(F.col("subvec"), F.col("__cv")).alias("d2"),
+        )
+    )
+    cand = codes.select(
+        F.col(id_col).alias("cand_id"),
+        F.posexplode(F.col("codes")).alias("sub_id", "code"),
+    )
+    pairs = (
+        cand.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("cand_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "cand_id", "adc_d2")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     cen: DataFrame,

@@ -167,3 +167,79 @@ def test_kmeans_tol_stops_early_and_matches_fixed_iters(spark):
         ann.update_centroids = real_update
     assert len(calls) - n0 == 3  # 2 productive + 1 confirming, not 10
     assert conv == fixed
+
+
+def _clustered_vectors(spark, n_clusters=5, per_cluster=40, dim=16, noise=0.01):
+    """Seeded clusters far apart with tiny within-cluster noise."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 10.0, (n_clusters, dim))
+    rows = []
+    for cl in range(n_clusters):
+        for j in range(per_cluster):
+            v = centers[cl] + rng.normal(0, noise, dim)
+            rows.append((cl * per_cluster + j, [float(x) for x in v], cl))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "cluster"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """Codes are m ints < ksub per vector; two independent train+encode
+    runs over the same input produce byte-identical codebooks and codes
+    (everything is seeded hashing + rounded means)."""
+    from dataquality_box_spark.operators.ann import pq_encode, pq_train_codebooks
+
+    df, _ = _clustered_vectors(spark)
+
+    def run():
+        cb = pq_train_codebooks(df, m=4, ksub=8, iters=2)
+        codes = pq_encode(df, cb, m=4)
+        return (
+            {(r["sub_id"], r["code"]): tuple(r["subvec"]) for r in cb.collect()},
+            {r["vec_id"]: tuple(r["codes"]) for r in codes.collect()},
+        )
+
+    cb1, codes1 = run()
+    cb2, codes2 = run()
+    assert cb1 == cb2 and codes1 == codes2
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes1.values())
+    assert len(codes1) == 200
+
+
+def test_pq_adc_recall_on_clustered_corpus(spark):
+    """ADC search over m-byte codes must recover same-cluster neighbors:
+    with tight, well-separated clusters the top-k by approximate distance
+    stays inside the query's cluster (recall 1.0 vs exact L2 truth)."""
+    from pyspark.sql import functions as F
+
+    from dataquality_box_spark.operators.ann import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    df, pdf = _clustered_vectors(spark)
+    cb = pq_train_codebooks(df, m=4, ksub=8, iters=2)
+    codes = pq_encode(df, cb, m=4)
+    queries = df.filter(F.col("vec_id") % 40 == 0).select("vec_id", "embedding")
+
+    got = pq_adc_topk(queries, codes, cb, m=4, k=5).collect()
+    cluster_of = dict(zip(pdf["vec_id"], pdf["cluster"]))
+    assert len(got) == 5 * 5  # 5 queries x top-5
+    for r in got:
+        assert cluster_of[r["cand_id"]] == cluster_of[r["query_id"]], (
+            r["query_id"], r["cand_id"])
+        assert r["adc_d2"] >= 0.0
+
+
+def test_pq_codebook_covers_subspaces(spark):
+    from dataquality_box_spark.operators.ann import pq_train_codebooks
+
+    df, _ = _clustered_vectors(spark)
+    cb = pq_train_codebooks(df, m=4, ksub=8, iters=1).collect()
+    subs = {r["sub_id"] for r in cb}
+    assert subs == {0, 1, 2, 3}
+    # every surviving codebook entry keeps the subvector width (16/4)
+    assert all(len(r["subvec"]) == 4 for r in cb)

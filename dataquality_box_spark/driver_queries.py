@@ -3832,6 +3832,43 @@ def decontam_overlap_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tokenizer fertility by language: chars-per-BPE-token and
+# tokens-per-doc per lang — the standard multilingual tokenizer
+# diagnostic (a language whose fertility spikes is being shredded into
+# bytes and will eat the token budget). Rides the same lookahead-free
+# BPE pre-tokenizer regex as doc_bpe_token_counts; one scan, one agg.
+@_q(
+    "tokenizer_fertility_by_lang",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS total_tokens,
+           ROUND(SUM(length(text)) / CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS DOUBLE), 6)
+             AS chars_per_token,
+           ROUND(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS tokens_per_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tbl(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+    return (
+        d.select("lang", ntok.alias("__nt"), F.length("text").alias("__nc"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+            F.round(F.sum("__nc") / F.sum("__nt").cast("double"), 6).alias(
+                "chars_per_token"
+            ),
+            F.round(F.sum("__nt") / F.count("*").cast("double"), 6).alias(
+                "tokens_per_doc"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

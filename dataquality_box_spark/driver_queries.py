@@ -3226,22 +3226,11 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import tokens
+    from .functions.text import ngram_array, tokens
 
     d = _tbl(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
-    # element_at(toks, 0) throws — short docs must yield no shingles
-    # (occurrence counts here, so no distinct — unlike shingle_sets)
-    idxs = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingles = F.transform(
-        idxs,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(3)]
-        ),
-    )
+    # occurrence counts here, so no distinct — unlike shingle_sets
+    shingles = ngram_array(tokens(F.col("text")), 3)
     sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
     return (
         sh.groupBy("shingle")
@@ -3575,7 +3564,7 @@ def curation_funnel_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import tokens
+    from .functions.text import ngram_array, tokens
 
     d = _tbl(spark, sf_dir, "documents")
     tk = tokens(F.col("text"))
@@ -3586,15 +3575,7 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def top_frac(n: int, alias: str) -> DataFrame:
-        idxs = F.when(
-            F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
-        ).otherwise(F.array().cast("array<int>"))
-        grams = F.transform(
-            idxs,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tk, (i + k).cast("int")) for k in range(n)]
-            ),
-        )
+        grams = ngram_array(tk, n)
         per_gram = (
             d.select("doc_id", F.explode(grams).alias("g"))
             .groupBy("doc_id", "g")
@@ -3732,11 +3713,14 @@ _LT_TARGET = 300  # target sampled docs at any corpus size (rate caps at 1)
 @_q(
     "language_temperature_sample",
     f"""
-    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents
+                    WHERE lang IS NOT NULL GROUP BY lang),
     mass AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS m FROM counts),
+    tot AS (SELECT list_reduce(list(m ORDER BY lang), (a, b) -> a + b) AS tm
+            FROM mass),
     rates AS (
       SELECT lang, n,
-             LEAST(1.0, (m / (SELECT SUM(m) FROM mass)) * {_LT_TARGET} / n) AS rate
+             LEAST(1.0, (m / (SELECT tm FROM tot)) * {_LT_TARGET} / n) AS rate
       FROM mass),
     gated AS (
       SELECT d.lang,
@@ -3750,26 +3734,36 @@ _LT_TARGET = 300  # target sampled docs at any corpus size (rate caps at 1)
     """,
 )
 def language_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .operators.curation import _hash_bucket
 
-    d = _tbl(spark, sf_dir, "documents")
+    # NULL lang is excluded up front on BOTH engines: inner equi-joins
+    # below never match NULL keys, while a SQL correlated subquery would
+    # still emit the rates row — the filter makes the contract explicit.
+    d = _tbl(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
     counts = d.groupBy("lang").agg(F.count("*").alias("n"))
     mass = counts.withColumn("m", F.sqrt(F.col("n").cast("double")))
-    # global mass via an unpartitioned window over the LANGUAGE frame
-    # (a handful of rows) — one aggregation, no cross join, and the
-    # counts scan is not re-derived for a separate total
-    rates = mass.withColumn("__tm", F.sum("m").over(W.partitionBy())).select(
+    # Total mass folded in LANG ORDER, not SUM: floor(rate * 2^32) below
+    # is discontinuous, so the total must be bit-identical cross-engine —
+    # an aggregate SUM's addition order is partition-dependent. Both
+    # engines left-fold the same lang-sorted double list (Spark's 0.0
+    # init is IEEE-exact: 0.0 + m == m), so every double here really is
+    # bit-identical. The language frame is a handful of rows; the fold
+    # and broadcast cost nothing.
+    tot = mass.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "m"))),
+            F.lit(0.0),
+            lambda a, x: a + x["m"],
+        ).alias("__tm")
+    )
+    rates = mass.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n",
         F.least(
             F.lit(1.0), (F.col("m") / F.col("__tm")) * F.lit(_LT_TARGET) / F.col("n")
         ).alias("rate"),
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit("lt0"), F.col("doc_id").cast("string")).cast("binary")), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    bucket = _hash_bucket(F.col("doc_id"), "lt0")
     gated = (
         d.join(F.broadcast(rates), "lang")
         .select(
@@ -3810,17 +3804,18 @@ def language_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def decontam_overlap_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import decontaminate
     from .operators.dedup import shingle_sets
 
     d = _tbl(spark, sf_dir, "documents")
     sh = shingle_sets(d, n=3)
-    bench = sh.where(F.col("doc_id") % 50 == 0).select("tok").distinct()
+    bench = sh.where(F.col("doc_id") % 50 == 0)
     corpus = sh.where(F.col("doc_id") % 50 != 0)
     per_doc = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    hits = (
-        corpus.join(F.broadcast(bench), "tok")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
+    # the canonical broadcast-bench overlap join lives in the operator;
+    # this query only grades its count into a fraction
+    hits = decontaminate(corpus, bench).select(
+        "doc_id", F.col("n_contaminated").alias("n_hit")
     )
     return per_doc.join(hits, "doc_id", "left").select(
         "doc_id",

@@ -32,6 +32,27 @@ def tokens(text: Column) -> Column:
     return F.array_remove(F.split(text, WS + "+"), "")
 
 
+def ngram_array(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams over a token array (the unit
+    for shingle dedup, boilerplate mining, and repetition signals; the
+    SQL twins spell it range()+unnest).
+
+    Carries the non-obvious short-doc guard ONCE for all call sites:
+    F.sequence(1, 0) yields the DESCENDING [1, 0], not an empty array,
+    and element_at(toks, 0) then throws — token arrays shorter than n
+    must short-circuit to an empty gram list (SQL range() does this
+    naturally)."""
+    idxs = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+
+
 def n_tokens(text: Column) -> Column:
     return F.size(tokens(text))
 

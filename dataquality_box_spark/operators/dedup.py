@@ -239,22 +239,10 @@ def shingle_sets(
     SEQUENCES). Docs with fewer than n tokens produce no shingles.
     Output column is named 'tok' so the MinHash/Jaccard machinery applies
     unchanged."""
-    from ..functions.text import tokens
+    from ..functions.text import ngram_array, tokens
 
-    toks = tokens(F.col(text_col))
-    # F.sequence(1, 0) yields the DESCENDING [1, 0], not an empty array, and
-    # element_at(toks, 0) then throws — docs shorter than n tokens must be
-    # short-circuited to an empty shingle list (the SQL twins' range() does
-    # this naturally).
-    idxs = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    shingles = F.transform(
-        idxs,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
-        ),
-    )
+    # ngram_array carries the descending-F.sequence short-doc guard
+    shingles = ngram_array(tokens(F.col(text_col)), n)
     return docs.select(
         F.col(id_col), F.explode(shingles).alias("tok")
     ).distinct()

@@ -3864,6 +3864,189 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Turn-level dedup across conversations (the RefinedWeb/CCNet line-dedup
+# idea at transcript granularity): a turn whose exact text appears in >= 2
+# distinct conversations is template/greeting boilerplate, not content.
+# Exact-match route, so the join key is md5(text) — the shuffle carries
+# 16-byte hashes, never full turn text. Two shuffles (by hash, by conv).
+@_q(
+    "turn_dedup_across_convs",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    h AS (SELECT conv_id, md5(text) AS h FROM t),
+    freq AS (SELECT h, COUNT(DISTINCT conv_id) AS n_convs FROM h GROUP BY h)
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN f.n_convs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_turns,
+           ROUND(SUM(CASE WHEN f.n_convs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac
+    FROM h JOIN freq f USING (h)
+    GROUP BY conv_id
+    """,
+)
+def turn_dedup_across_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_view(spark, sf_dir)
+    h = t.select("conv_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    freq = h.groupBy("h").agg(F.countDistinct("conv_id").alias("n_convs"))
+    shared = (F.col("n_convs") >= 2).cast("long")
+    return (
+        h.join(freq, "h")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(shared).alias("n_shared_turns"),
+            F.round(F.sum(shared) / F.count("*").cast("double"), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
+# Source-reputation filter (the C4/RefinedWeb URL/domain-filtering idea
+# over the corpus's source column): per-source mean quality + exact-dup
+# rate, with the keep verdict decided ENTIRELY in integer space — the
+# 6dp quality score is exact in micro-units, so sums and both threshold
+# comparisons (mean >= 0.5, dup_frac <= 0.1) are order-free integer
+# arithmetic, immune to float-sum associativity across engines/partitions.
+@_q(
+    "source_reputation",
+    f"""
+    WITH q AS (SELECT doc_id, source, text, {_quality_q_sql()} AS q FROM documents),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST(ROUND(q * 1000000, 0) AS BIGINT)) AS sum_q6,
+             COUNT(DISTINCT md5(text)) AS n_distinct
+      FROM q GROUP BY source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(sum_q6 / 1000000.0 / n_docs, 6) AS mean_quality,
+           ROUND((n_docs - n_distinct) / CAST(n_docs AS DOUBLE), 6) AS dup_frac,
+           (sum_q6 * 2 >= n_docs * 1000000
+            AND (n_docs - n_distinct) * 10 <= n_docs) AS reputable
+    FROM agg
+    """,
+)
+def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tbl(spark, sf_dir, "documents")
+    q6 = F.round(_quality_q_col() * F.lit(1000000.0), 0).cast("long")
+    agg = d.select(
+        "source", q6.alias("q6"), F.md5(F.col("text").cast("binary")).alias("h")
+    ).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("q6").alias("sum_q6"),
+        F.countDistinct("h").alias("n_distinct"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("sum_q6") / F.lit(1000000.0) / F.col("n_docs"), 6).alias(
+            "mean_quality"
+        ),
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs").cast("double"), 6
+        ).alias("dup_frac"),
+        (
+            (F.col("sum_q6") * 2 >= F.col("n_docs") * 1000000)
+            & ((F.col("n_docs") - F.col("n_distinct")) * 10 <= F.col("n_docs"))
+        ).alias("reputable"),
+    )
+
+
+# CCNet-style head/middle/tail buckets per language — rank-based (NTILE
+# over a TOTAL order: score desc, doc_id), not threshold-based, so bucket
+# assignment is pure integer rank arithmetic with zero float-boundary
+# risk cross-engine. The production metric is the KenLM-style perplexity
+# UDF (functions/scoring.py); the oracle-able 6dp heuristic score stands
+# in here so the split logic itself is hash-verified. At 100 TB the
+# per-language global sort becomes approx-percentile thresholds; the
+# rank route is exact and right-sized for per-partition scoring batches.
+@_q(
+    "quality_tertile_buckets",
+    f"""
+    WITH q AS (SELECT doc_id, lang, {_quality_q_sql()} AS q FROM documents),
+    b AS (SELECT lang, q,
+                 NTILE(3) OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS tb
+          FROM q)
+    SELECT lang,
+           CASE tb WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(q), 6) AS min_q, ROUND(MAX(q), 6) AS max_q
+    FROM b GROUP BY lang, tb
+    """,
+)
+def quality_tertile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _tbl(spark, sf_dir, "documents")
+    q = d.select("doc_id", "lang", _quality_q_col().alias("q"))
+    w = W.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    b = q.withColumn("tb", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tb") == 1, "head")
+        .when(F.col("tb") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        b.groupBy("lang", "tb")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+        )
+        .select(
+            "lang", bucket.alias("bucket"), "n_docs", "min_q", "max_q"
+        )
+    )
+
+
+# DSIR importance weights (hashed-bigram log-ratio scoring; operator in
+# operators/curation.py carries the scale + determinism contract). The
+# target "in-domain" sample is doc_id % 41 = 0; weights are computed for
+# the raw remainder.
+@_q(
+    "dsir_importance_weights",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    g AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+          FROM tt, unnest(range(1, len(tk))) AS u(i)),
+    hb AS (SELECT doc_id,
+                  CAST('0x' || substr(md5('ds0' || g), 1, 8) AS BIGINT) % 64 AS b
+           FROM g),
+    tgt AS (SELECT b FROM hb WHERE doc_id % 41 = 0),
+    cg AS (SELECT doc_id, b FROM hb WHERE doc_id % 41 <> 0),
+    spine AS (SELECT CAST(range AS BIGINT) AS b FROM range(64)),
+    counts AS (
+      SELECT s.b, coalesce(r.nr, 0) AS nr, coalesce(t.ntg, 0) AS ntg
+      FROM spine s
+      LEFT JOIN (SELECT b, COUNT(*) AS nr FROM cg GROUP BY b) r USING (b)
+      LEFT JOIN (SELECT b, COUNT(*) AS ntg FROM tgt GROUP BY b) t USING (b)),
+    tot AS (SELECT SUM(nr) AS tr, SUM(ntg) AS tt FROM counts),
+    lr AS (SELECT b,
+                  ROUND(ln((ntg + 1) / CAST((SELECT tt FROM tot) + 64 AS DOUBLE))
+                      - ln((nr + 1) / CAST((SELECT tr FROM tot) + 64 AS DOUBLE)), 9)
+                    AS lr
+           FROM counts),
+    terms AS (
+      SELECT doc_id, b, ROUND(COUNT(*) * lr, 9) AS term
+      FROM cg JOIN lr USING (b) GROUP BY doc_id, b, lr)
+    SELECT doc_id,
+           ROUND(list_reduce(list(term ORDER BY b), (a, x) -> a + x), 6)
+             AS dsir_weight
+    FROM terms GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import ngram_array, tokens
+    from .operators.curation import dsir_logratio_weights
+
+    d = _tbl(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(ngram_array(tokens(F.col("text")), 2)).alias("g")
+    )
+    tgt = grams.where(F.col("doc_id") % 41 == 0)
+    cg = grams.where(F.col("doc_id") % 41 != 0)
+    return dsir_logratio_weights(cg, tgt, n_buckets=64, salt="ds0")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

@@ -183,3 +183,83 @@ def pack_bins_nextfit(
         f"first_doc {order_t}, last_doc {order_t}"
     )
     return staged.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def dsir_logratio_weights(
+    corpus_grams: DataFrame,
+    target_grams: DataFrame,
+    n_buckets: int = 64,
+    salt: str = "ds0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each raw-corpus
+    doc by how target-like its hashed n-gram bag is.
+
+    Inputs are (id, g) frames with one row per gram OCCURRENCE (build
+    with functions.text.ngram_array + explode). Each gram hashes to one
+    of ``n_buckets`` buckets (md5, same expression as the sampling
+    gates); bucket unigram/bigram probabilities are estimated with
+    add-one smoothing on each side, and
+
+        weight(doc) = sum_b count_b(doc) * ln(p_target(b) / p_raw(b))
+
+    Scale shape: the bucket log-ratio table is ``n_buckets`` rows —
+    BROADCAST; the corpus side is one groupBy(id, bucket) count plus a
+    map-side join, so a 100 TB corpus is streamed exactly once and the
+    only shuffle is the per-doc aggregation.
+
+    Cross-engine determinism: per-bucket log-ratios are rounded to 9dp,
+    per-doc terms fold in BUCKET ORDER (collect_list + array_sort +
+    left fold, mirrored by the oracle's list_reduce(list(... ORDER BY
+    b))), so float addition order is pinned on both engines. Residual
+    risk is a last-ulp ln() divergence landing within 5e-10 of a 9dp
+    rounding boundary — same accepted class as the IVF oracle's rounded
+    per-term folds.
+    """
+    b = F.pmod(_hash_bucket(F.col("g"), salt), F.lit(n_buckets)).alias("b")
+    cg = corpus_grams.select(F.col(id_col), b)
+    tg = target_grams.select(b)
+    raw_n = cg.groupBy("b").agg(F.count("*").alias("nr"))
+    tgt_n = tg.groupBy("b").agg(F.count("*").alias("ntg"))
+    # all-buckets spine so unseen buckets still carry their smoothed mass
+    spine = cg.sparkSession.range(n_buckets).select(F.col("id").cast("long").alias("b"))
+    counts = (
+        spine.join(raw_n, "b", "left")
+        .join(tgt_n, "b", "left")
+        .select(
+            "b",
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+            F.coalesce("ntg", F.lit(0)).alias("ntg"),
+        )
+    )
+    # integer totals ride the same 64-row frame (exact, order-free)
+    tot = counts.agg(
+        F.sum("nr").alias("tr"), F.sum("ntg").alias("tt")
+    )
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log((F.col("ntg") + 1).cast("double") / (F.col("tt") + n_buckets))
+            - F.log((F.col("nr") + 1).cast("double") / (F.col("tr") + n_buckets)),
+            9,
+        ).alias("lr"),
+    )
+    doc_terms = (
+        cg.groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+        .join(F.broadcast(lr), "b")
+        .select(
+            id_col, "b", F.round(F.col("c").cast("double") * F.col("lr"), 9).alias("term")
+        )
+    )
+    return doc_terms.groupBy(id_col).agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("b", "term"))),
+                F.lit(0.0),
+                lambda a, x: a + x["term"],
+            ),
+            6,
+        ).alias("dsir_weight")
+    )

@@ -106,3 +106,46 @@ def test_pack_contiguous_ties_use_rows_frame(spark):
     # (RANGE would yield cum_before=180 for all four -> one bin)
     assert out["bin_id"].tolist() == [0, 1]
     assert out["n_docs"].tolist() == [2, 2]
+
+
+def _grams(spark, rows):
+    from dataquality_box_spark.functions.text import ngram_array, tokens
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.select(
+        "doc_id", F.explode(ngram_array(tokens(F.col("text")), 2)).alias("g")
+    )
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from dataquality_box_spark.operators.curation import dsir_logratio_weights
+
+    # target distribution is all about "spark shuffle"; raw corpus is
+    # mostly "cat dog". A raw doc made of target-distinctive grams must
+    # outscore a raw doc made of raw-common grams.
+    target = _grams(spark, [(100 + i, "spark shuffle spark shuffle spark") for i in range(5)])
+    raw = _grams(
+        spark,
+        [(i, "cat dog cat dog cat dog") for i in range(5)]
+        + [(50, "spark shuffle spark shuffle"), (51, "cat dog cat dog")],
+    )
+    w = {r["doc_id"]: r["dsir_weight"] for r in dsir_logratio_weights(raw, target).collect()}
+    assert set(w) == {0, 1, 2, 3, 4, 50, 51}
+    assert w[50] > w[51]
+    assert w[50] > 0 > w[51]
+
+
+def test_dsir_weights_partitioning_invariant(spark):
+    from dataquality_box_spark.operators.curation import dsir_logratio_weights
+
+    texts = [
+        (i, f"tok{i % 7} tok{(i * 3) % 11} tok{(i * 5) % 13} tok{i % 7} spark")
+        for i in range(40)
+    ]
+    target = _grams(spark, [(1000 + i, "spark spark shuffle merge") for i in range(3)])
+    raw = _grams(spark, texts)
+    a = sorted(dsir_logratio_weights(raw, target).collect())
+    b = sorted(dsir_logratio_weights(raw.repartition(7), target.repartition(3)).collect())
+    # bucket-ordered folds + 9dp term rounding: weights must be
+    # bit-identical under any partitioning (determinism contract)
+    assert a == b

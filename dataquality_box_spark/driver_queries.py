@@ -4047,6 +4047,39 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logratio_weights(cg, tgt, n_buckets=64, salt="ds0")
 
 
+# SemDeDup (semantic dedup): k-means clusters (same fixed-unroll twin as
+# the IVF oracle) then within-cluster pairwise cosine; drop when a
+# lower-id cluster-mate sits at cosine >= 0.95. Catches paraphrases the
+# lexical routes (MinHash/SimHash) cannot. Operator: operators/dedup.py.
+@_q(
+    "semantic_dedup",
+    f"""
+    WITH {_ivf_kmeans_sql()},
+    lists AS (SELECT vec_id, centroid_id FROM assign{_IVF_ITERS}),
+    pairs AS (
+      SELECT q.vec_id AS vid,
+             ROUND({_DOT_DUCK} / (sqrt({_NORM_DUCK.format(t='q')})
+                                  * sqrt({_NORM_DUCK.format(t='c')})), 6) AS cos
+      FROM embeddings q
+      JOIN lists ql ON ql.vec_id = q.vec_id
+      JOIN lists cl ON cl.centroid_id = ql.centroid_id AND cl.vec_id < q.vec_id
+      JOIN embeddings c ON c.vec_id = cl.vec_id),
+    dup AS (SELECT vid AS vec_id, MAX(cos) AS max_dup_cosine
+            FROM pairs GROUP BY vid)
+    SELECT l.vec_id, l.centroid_id, d.max_dup_cosine,
+           (d.max_dup_cosine IS NULL OR d.max_dup_cosine < 0.95) AS keep
+    FROM lists l LEFT JOIN dup d USING (vec_id)
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import ivf_kmeans_centroids
+    from .operators.dedup import semdedup
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS)
+    return semdedup(e, cen, tau=0.95)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

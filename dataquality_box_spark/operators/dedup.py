@@ -781,3 +781,63 @@ def incremental_lsh_pairs_stored(
         id_col,
         threshold,
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    cen: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means cluster
+    + within-cluster pairwise cosine. A vector is dropped when some
+    LOWER-id vector in its cluster sits at cosine >= tau (keep-first
+    representative selection — deterministic, no iteration-order
+    dependence). Output has one row per INPUT vector: (id, centroid_id,
+    max_dup_cosine, keep); pair-free vectors keep with NULL cosine.
+
+    Scale shape: pairwise work is sum of squared cluster sizes — the
+    paper's regime grows K with the corpus so clusters stay bounded; the
+    pair join shuffles on centroid_id only (never a global cross join),
+    and the K-row centroid table broadcasts inside the assignment.
+    Cosines use ann.dot_rounded (ordered 9dp folds), so the tau gate on
+    the 6dp-rounded value is bit-stable cross-engine.
+
+    Completes the dedup suite: exact / MinHash-LSH / SimHash /
+    sign-LSH-embedding routes catch copies; this catches PARAPHRASES
+    (same meaning, different tokens) the lexical routes cannot.
+    """
+    from .ann import assign_to_centroids, dot_rounded
+
+    lists = assign_to_centroids(emb, cen, id_col, emb_col)
+    norm = F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col)))
+    a = lists.select(
+        F.col(id_col), "centroid_id", F.col(emb_col).alias("__ae"), norm.alias("__an")
+    )
+    b = lists.select(
+        F.col(id_col).alias("__bid"),
+        F.col("centroid_id").alias("__bc"),
+        F.col(emb_col).alias("__be"),
+        norm.alias("__bn"),
+    )
+    cos = F.round(
+        dot_rounded(F.col("__ae"), F.col("__be")) / (F.col("__an") * F.col("__bn")), 6
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("centroid_id") == F.col("__bc")) & (F.col("__bid") < F.col(id_col)),
+        )
+        .select(F.col(id_col), cos.alias("__cos"))
+        .groupBy(id_col)
+        .agg(F.max("__cos").alias("max_dup_cosine"))
+    )
+    return lists.join(dup, id_col, "left").select(
+        id_col,
+        "centroid_id",
+        "max_dup_cosine",
+        (
+            F.col("max_dup_cosine").isNull() | (F.col("max_dup_cosine") < F.lit(tau))
+        ).alias("keep"),
+    )

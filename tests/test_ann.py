@@ -243,3 +243,26 @@ def test_pq_codebook_covers_subspaces(spark):
     assert subs == {0, 1, 2, 3}
     # every surviving codebook entry keeps the subvector width (16/4)
     assert all(len(r["subvec"]) == 4 for r in cb)
+
+
+def test_semdedup_drops_paraphrase_keeps_first(spark):
+    from dataquality_box_spark.operators.dedup import semdedup
+
+    e = _embeddings(spark)
+    cen = ivf_kmeans_centroids(e, k=2, iters=2)
+    out = {r["vec_id"]: r for r in semdedup(e, cen, tau=0.999).collect()}
+    # one row per input vector, even pair-free ones
+    assert set(out) == set(range(10))
+    # within each cluster the wobbled copies are near-identical: the
+    # lowest id in each cluster must survive, and every dropped vector
+    # must carry a cosine above the gate
+    for vid, r in out.items():
+        if not r["keep"]:
+            assert r["max_dup_cosine"] >= 0.999
+    kept = {v for v, r in out.items() if r["keep"]}
+    assert 0 in kept and 5 in kept
+    # keep decisions are cluster-local: both clusters retain >= 1 vector
+    by_cluster = {}
+    for v, r in out.items():
+        by_cluster.setdefault(r["centroid_id"], []).append(r["keep"])
+    assert all(any(ks) for ks in by_cluster.values())

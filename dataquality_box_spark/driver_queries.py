@@ -4047,6 +4047,62 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logratio_weights(cg, tgt, n_buckets=64, salt="ds0")
 
 
+# ExactSubstr-style duplicated spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): the published finding is
+# that long VERBATIM SPANS shared across documents (licenses, headers,
+# syndicated text) hurt more than whole-doc dups. Suffix arrays don't
+# distribute; the standard Spark re-expression is fixed-width rolling
+# windows — every 8-token window hashes (md5, 16 bytes on the shuffle,
+# never the span text), windows in >= 2 distinct docs are duplicated
+# spans, and each doc reports its duplicated-window fraction. Distinct
+# within doc first, so a phrase repeated INSIDE one doc doesn't
+# self-flag (that's doc_repetition_signals' job).
+_SPAN_N = 8
+_SPAN_EXPR = " || ' ' || ".join(f"tk[i + {k}]" for k in range(_SPAN_N))
+
+
+@_q(
+    "duplicated_span_stats",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    w AS (SELECT DISTINCT doc_id, md5({_SPAN_EXPR}) AS h
+          FROM tt, unnest(range(1, len(tk) - {_SPAN_N - 2})) AS u(i)),
+    freq AS (SELECT h, COUNT(*) AS n_docs FROM w GROUP BY h)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_span_frac
+    FROM w JOIN freq f USING (h)
+    GROUP BY w.doc_id
+    """,
+)
+def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import ngram_array, tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    spans = ngram_array(tokens(F.col("text")), _SPAN_N)
+    w = (
+        d.select("doc_id", F.explode(spans).alias("g"))
+        .select("doc_id", F.md5(F.col("g").cast("binary")).alias("h"))
+        .distinct()
+    )
+    freq = w.groupBy("h").agg(F.count("*").alias("n_docs"))
+    dup = (F.col("n_docs") >= 2).cast("long")
+    return (
+        w.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(dup).alias("n_dup_windows"),
+            F.round(F.sum(dup) / F.count("*").cast("double"), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+    )
+
+
 # SemDeDup (semantic dedup): k-means clusters (same fixed-unroll twin as
 # the IVF oracle) then within-cluster pairwise cosine; drop when a
 # lower-id cluster-mate sits at cosine >= 0.95. Catches paraphrases the

@@ -3885,20 +3885,15 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def turn_dedup_across_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shared_hash_fraction
+
     t = transcripts_view(spark, sf_dir)
     h = t.select("conv_id", F.md5(F.col("text").cast("binary")).alias("h"))
-    freq = h.groupBy("h").agg(F.countDistinct("conv_id").alias("n_convs"))
-    shared = (F.col("n_convs") >= 2).cast("long")
-    return (
-        h.join(freq, "h")
-        .groupBy("conv_id")
-        .agg(
-            F.count("*").alias("n_turns"),
-            F.sum(shared).alias("n_shared_turns"),
-            F.round(F.sum(shared) / F.count("*").cast("double"), 6).alias(
-                "shared_frac"
-            ),
-        )
+    return shared_hash_fraction(h, "conv_id").select(
+        "conv_id",
+        F.col("n_rows").alias("n_turns"),
+        F.col("n_shared").alias("n_shared_turns"),
+        "shared_frac",
     )
 
 
@@ -4080,6 +4075,7 @@ _SPAN_EXPR = " || ' ' || ".join(f"tk[i + {k}]" for k in range(_SPAN_N))
 )
 def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import ngram_array, tokens
+    from .operators.dedup import shared_hash_fraction
 
     d = _tbl(spark, sf_dir, "documents")
     spans = ngram_array(tokens(F.col("text")), _SPAN_N)
@@ -4088,18 +4084,11 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5(F.col("g").cast("binary")).alias("h"))
         .distinct()
     )
-    freq = w.groupBy("h").agg(F.count("*").alias("n_docs"))
-    dup = (F.col("n_docs") >= 2).cast("long")
-    return (
-        w.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(dup).alias("n_dup_windows"),
-            F.round(F.sum(dup) / F.count("*").cast("double"), 6).alias(
-                "dup_span_frac"
-            ),
-        )
+    return shared_hash_fraction(w, "doc_id").select(
+        "doc_id",
+        F.col("n_rows").alias("n_windows"),
+        F.col("n_shared").alias("n_dup_windows"),
+        F.col("shared_frac").alias("dup_span_frac"),
     )
 
 

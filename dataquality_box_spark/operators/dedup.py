@@ -810,7 +810,10 @@ def semdedup(
     """
     from .ann import assign_to_centroids, dot_rounded
 
-    lists = assign_to_centroids(emb, cen, id_col, emb_col)
+    # materialize the assignment ONCE: it feeds both pair sides and the
+    # final join-back, and its lineage embeds the whole k-means DAG —
+    # without the checkpoint the dominant cost would replay up to 3x
+    lists = assign_to_centroids(emb, cen, id_col, emb_col).localCheckpoint(eager=True)
     norm = F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col)))
     a = lists.select(
         F.col(id_col), "centroid_id", F.col(emb_col).alias("__ae"), norm.alias("__an")
@@ -840,4 +843,37 @@ def semdedup(
         (
             F.col("max_dup_cosine").isNull() | (F.col("max_dup_cosine") < F.lit(tau))
         ).alias("keep"),
+    )
+
+
+def shared_hash_fraction(
+    rows: DataFrame,
+    owner_col: str,
+    hash_col: str = "h",
+    min_owners: int = 2,
+) -> DataFrame:
+    """Per-owner shared-content fraction: given (owner, hash) rows, the
+    fraction of each owner's rows whose hash appears under >=
+    ``min_owners`` distinct owners. The shape behind span-level
+    (duplicated_span_stats) and turn-level (turn_dedup_across_convs)
+    dedup signals — hash rows upstream (md5, so the shuffles carry 16
+    bytes, never text), then count / join / aggregate here.
+
+    Two shuffles (by hash, by owner) over whatever the caller hands in;
+    a caller that needs within-owner distinctness (the span form)
+    distincts first, which adds its own exchange."""
+    freq = rows.groupBy(hash_col).agg(
+        F.countDistinct(owner_col).alias("__n_owners")
+    )
+    shared = (F.col("__n_owners") >= min_owners).cast("long")
+    return (
+        rows.join(freq, hash_col)
+        .groupBy(owner_col)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(shared).alias("n_shared"),
+            F.round(F.sum(shared) / F.count("*").cast("double"), 6).alias(
+                "shared_frac"
+            ),
+        )
     )

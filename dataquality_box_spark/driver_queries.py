@@ -4176,23 +4176,29 @@ _CHECKED_FIRST: tuple[str, ...] = (
     "streaming_windowed_metrics",
     "stateful_conversation_totals",
     "incremental_affected_keys",
-    # §2.1 sources / adapter / governance lifecycle
+    # §2.1 sources / adapter / governance lifecycle (round-4 rotation:
+    # dispatch_digest is a component stage of governance_lifecycle and
+    # rotates past the window in favor of the DSIR curation operator)
     "adapter_entity_mapping",
     "alert_routing",
     "asset_rows",
-    "dispatch_digest",
+    "dsir_importance_weights",
     "governance_lifecycle",
     # reconciliation family (J5/J6 composites + metrics + consistency)
     "time_consistency_violations",
     "recon_quality_summary",
-    # dedup family (default bucketed routes + fingerprints)
+    # dedup family (default bucketed routes + fingerprints; round-4
+    # rotation: shingle-LSH and the Hamming-pairs stage are the same
+    # routes as dedup_jaccard_lsh / simhash64 and rotate past the window
+    # in favor of the NEW dedup signals — semantic (SemDeDup) and
+    # ExactSubstr-style duplicated spans)
     "dedup_exact",
     "doc_fingerprint",
     "dedup_jaccard_lsh",
-    "dedup_shingle_lsh",
+    "semantic_dedup",
     "dedup_incremental_lsh",
     "simhash64",
-    "simhash_hamming_pairs",
+    "duplicated_span_stats",
     # similarity search (exact baseline rotated out; scale routes in)
     "neardup_ann",
     "ivf_ann_topk",

@@ -149,3 +149,60 @@ def test_dsir_weights_partitioning_invariant(spark):
     # bucket-ordered folds + 9dp term rounding: weights must be
     # bit-identical under any partitioning (determinism contract)
     assert a == b
+
+
+def test_ngram_array_matches_python_reference(spark):
+    import re
+
+    from dataquality_box_spark.functions.text import ngram_array, tokens
+
+    texts = [
+        "",
+        "a",
+        "a b",
+        "a b c",
+        "a b c d e",
+        "  a   b  ",
+        "tab\tsep\nnewline done",
+        "x y z w v u t s r q",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    for n in (2, 3, 8):
+        out = {
+            r["id"]: r["g"]
+            for r in df.select(
+                "id", ngram_array(tokens(F.col("text")), n).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            tk = re.findall(r"\S+", t)
+            exp = [" ".join(tk[j : j + n]) for j in range(len(tk) - n + 1)]
+            assert out[i] == exp, (n, t)
+
+
+def test_shared_hash_fraction_matches_pandas_reference(spark):
+    import pandas as pd
+
+    from dataquality_box_spark.operators.dedup import shared_hash_fraction
+
+    # deterministic multiset: hash j is owned by owners 0..j%4 (so j%4==0
+    # hashes are single-owner), plus repeated rows within an owner
+    rows = []
+    for j in range(30):
+        for o in range(j % 4 + 1):
+            rows.append((o, f"h{j}"))
+            if j % 5 == 0:
+                rows.append((o, f"h{j}"))  # within-owner repeat
+    df = spark.createDataFrame(rows, "owner long, h string")
+    got = {r["owner"]: r for r in shared_hash_fraction(df, "owner").collect()}
+    pdf = pd.DataFrame(rows, columns=["owner", "h"])
+    owners_per_hash = pdf.groupby("h")["owner"].nunique()
+    shared_h = set(owners_per_hash[owners_per_hash >= 2].index)
+    for o, g in pdf.groupby("owner"):
+        n = len(g)
+        s = int(g["h"].isin(shared_h).sum())
+        assert got[o]["n_rows"] == n
+        assert got[o]["n_shared"] == s
+        assert abs(got[o]["shared_frac"] - round(s / n, 6)) < 1e-12

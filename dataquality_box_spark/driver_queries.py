@@ -4092,6 +4092,55 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom-filter seen-set probe (recrawl membership): the compact bitset a
+# recrawl pipeline persists instead of the full key table — "definitely
+# new" keys skip the exact route entirely; "maybe seen" falls through to
+# the anti join / stored LSH index. Deterministic md5 k-hash variant so
+# both engines compute identical bits; m sized small here (4096/500
+# keys) so the false-positive accounting is exercised, not just asserted.
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+@_q(
+    "bloom_seen_probe",
+    f"""
+    WITH keys AS (SELECT DISTINCT doc_id FROM documents),
+    ii AS (SELECT unnest(range(0, {_BLOOM_K})) AS i),
+    bits AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5('bl' || i || '#' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM (SELECT doc_id FROM keys WHERE doc_id % 3 <> 0), ii),
+    probe AS (
+      SELECT k.doc_id,
+             CAST('0x' || substr(md5('bl' || i || '#' || CAST(k.doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM keys k, ii),
+    hit AS (SELECT doc_id, COUNT(*) AS nhit
+            FROM probe p JOIN bits b USING (pos) GROUP BY doc_id)
+    SELECT k.doc_id,
+           coalesce(h.nhit, 0) = {_BLOOM_K} AS maybe_seen,
+           (k.doc_id % 3 <> 0) AS truly_seen,
+           (coalesce(h.nhit, 0) = {_BLOOM_K} AND k.doc_id % 3 = 0) AS false_positive
+    FROM keys k LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def bloom_seen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import bloom_bit_positions, bloom_probe
+
+    keys = _tbl(spark, sf_dir, "documents").select("doc_id").distinct()
+    seen = keys.where(F.col("doc_id") % 3 != 0)
+    bits = bloom_bit_positions(seen, _BLOOM_M, _BLOOM_K)
+    probed = bloom_probe(keys, bits, _BLOOM_M, _BLOOM_K)
+    truly = (F.col("doc_id") % 3 != 0).alias("truly_seen")
+    return probed.select(
+        "doc_id",
+        "maybe_seen",
+        truly,
+        (F.col("maybe_seen") & (F.col("doc_id") % 3 == 0)).alias("false_positive"),
+    )
+
+
 # SemDeDup (semantic dedup): k-means clusters (same fixed-unroll twin as
 # the IVF oracle) then within-cluster pairwise cosine; drop when a
 # lower-id cluster-mate sits at cosine >= 0.95. Catches paraphrases the

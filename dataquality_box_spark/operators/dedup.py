@@ -877,3 +877,74 @@ def shared_hash_fraction(
             ),
         )
     )
+
+
+def bloom_bit_positions(
+    keys: DataFrame,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "bl",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DISTINCT set bit positions of a Bloom filter over ``keys`` —
+    the compact seen-set a recrawl pipeline persists instead of the full
+    key table (probe answers "definitely new" / "maybe seen"; the maybe
+    side falls through to the exact route, e.g. insert_missing's anti
+    join or the stored LSH index).
+
+    Positions are md5-derived (hash i of a key = first 8 hex chars of
+    md5(f"{salt}{i}#{key}") mod m), so both engines compute identical
+    bits — Spark's built-in ``df.stat.bloomFilter`` is the JVM
+    alternative when cross-engine determinism isn't needed. At scale the
+    position set is stored as the filter's bit array (m bits, not m
+    rows); this frame form keeps the algebra verifiable.
+    """
+    probes = _bloom_probes(keys, m, k, salt, id_col)
+    return probes.select("pos").distinct()
+
+
+def _bloom_probes(
+    keys: DataFrame, m: int, k: int, salt: str, id_col: str
+) -> DataFrame:
+    """(id, pos) rows: the k hash positions of every key."""
+    idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i")
+    probes = keys.select(F.col(id_col), idx)
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("__i").cast("string"),
+            F.lit("#"),
+            F.col(id_col).cast("string"),
+        ).cast("binary")
+    )
+    pos = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(m))
+    return probes.select(F.col(id_col), pos.alias("pos"))
+
+
+def bloom_probe(
+    keys: DataFrame,
+    bits: DataFrame,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "bl",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Membership probe: maybe_seen is true iff ALL k hash positions of
+    a key are set. No false negatives by construction; false-positive
+    rate ~ (1 - e^{-kn/m})^k, tuned by m. The bit set is bounded by m,
+    so it BROADCASTS — the probe is a map-side join + one groupBy(id),
+    never a shuffle of the seen-key table itself."""
+    probes = _bloom_probes(keys, m, k, salt, id_col)
+    hit = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__nhit"))
+    )
+    return (
+        keys.select(id_col)
+        .join(hit, id_col, "left")
+        .select(
+            id_col,
+            (F.coalesce("__nhit", F.lit(0)) == k).alias("maybe_seen"),
+        )
+    )

@@ -603,3 +603,38 @@ def test_cluster_ops_on_empty_pairs(spark):
             for r in fn(empty, all_docs=docs).collect()
         }
         assert got == {1: (1, True), 2: (2, True)}, fn.__name__
+
+
+def test_bloom_probe_no_false_negatives_and_matches_python_model(spark):
+    import hashlib
+
+    from dataquality_box_spark.operators.dedup import (
+        bloom_bit_positions,
+        bloom_probe,
+    )
+
+    from pyspark.sql import functions as F
+
+    m, k = 256, 3  # small m so false positives actually occur
+    keys = spark.createDataFrame([(i,) for i in range(120)], "doc_id long")
+    seen_ids = [i for i in range(120) if i % 3 != 0]
+    seen = keys.where(F.col("doc_id") % 3 != 0)
+    bits = bloom_bit_positions(seen, m, k)
+    got = {r["doc_id"]: r["maybe_seen"] for r in bloom_probe(keys, bits, m, k).collect()}
+
+    def positions(key):
+        return {
+            int(hashlib.md5(f"bl{i}#{key}".encode()).hexdigest()[:8], 16) % m
+            for i in range(k)
+        }
+
+    bitset = set().union(*(positions(i) for i in seen_ids))
+    fp = 0
+    for i in range(120):
+        expect = positions(i) <= bitset
+        assert got[i] == expect, i
+        if i % 3 != 0:
+            assert got[i], f"false negative for seen key {i}"
+        elif got[i]:
+            fp += 1
+    assert fp > 0  # m chosen so the false-positive path is exercised

@@ -4092,6 +4092,63 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII-density report per conversation: counts per PII TYPE (the same
+# compiled regexes the scrub stage applies, counted independently on the
+# raw text) + the fraction of turns carrying any PII. The observability
+# twin of the scrub: lineage/metrics say what was dropped; this says what
+# was REDACTED and where it concentrates. Narrow until one conv_id agg.
+from .config import SCRUB_STEPS as _SCRUB_STEPS  # noqa: E402
+
+_PII_TYPES = tuple(
+    (token.strip("<>").lower(), pattern) for pattern, token in _SCRUB_STEPS
+)
+
+
+def _pii_counts_sql() -> str:
+    return ",\n             ".join(
+        f"len(regexp_extract_all(text, '{pat.replace(chr(39), chr(39) * 2)}')) AS n_{name}"
+        for name, pat in _PII_TYPES
+    )
+
+
+@_q(
+    "pii_density_report",
+    f"""
+    WITH t AS ({{TSQL}}),
+    c AS (SELECT conv_id,
+             {{COUNTS}}
+          FROM t)
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           {{SUMS}},
+           ROUND(SUM(CASE WHEN {{ANY}} > 0 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS pii_turn_frac
+    FROM c GROUP BY conv_id
+    """.format(
+        TSQL=TRANSCRIPTS_SQL_DUCKDB,
+        COUNTS=_pii_counts_sql(),
+        SUMS=", ".join(
+            f"CAST(SUM(n_{n}) AS BIGINT) AS n_{n}" for n, _ in _PII_TYPES
+        ),
+        ANY=" + ".join(f"n_{n}" for n, _ in _PII_TYPES),
+    ),
+)
+def pii_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_view(spark, sf_dir)
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat in _PII_TYPES
+    ]
+    c = t.select("conv_id", *counts)
+    any_pii = sum((F.col(f"n_{n}") for n, _ in _PII_TYPES), F.lit(0))
+    return c.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        *[F.sum(f"n_{n}").cast("long").alias(f"n_{n}") for n, _ in _PII_TYPES],
+        F.round(
+            F.sum((any_pii > 0).cast("long")) / F.count("*").cast("double"), 6
+        ).alias("pii_turn_frac"),
+    )
+
+
 # Bloom-filter seen-set probe (recrawl membership): the compact bitset a
 # recrawl pipeline persists instead of the full key table — "definitely
 # new" keys skip the exact route entirely; "maybe seen" falls through to

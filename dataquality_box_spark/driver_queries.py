@@ -4093,10 +4093,12 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # PII-density report per conversation: counts per PII TYPE (the same
-# compiled regexes the scrub stage applies, counted independently on the
-# raw text) + the fraction of turns carrying any PII. The observability
-# twin of the scrub: lineage/metrics say what was dropped; this says what
-# was REDACTED and where it concentrates. Narrow until one conv_id agg.
+# compiled regexes the scrub stage applies, counted INDEPENDENTLY on the
+# raw text) + the fraction of turns carrying any PII. These are
+# per-pattern match counts, not post-scrub redaction counts — on
+# overlapping matches (a phone-shaped local part inside an email) the
+# sequential scrub replaces once where this report counts both patterns.
+# Narrow until one conv_id agg.
 from .config import SCRUB_STEPS as _SCRUB_STEPS  # noqa: E402
 
 _PII_TYPES = tuple(

@@ -51,11 +51,14 @@ def decontaminate(
     )
 
 
-def _hash_bucket(id_col, salt: str):
+def _hash_bucket(id_col, salt):
     """Deterministic uniform 32-bit bucket from md5(salt || id) — the
     same expression DuckDB spells CAST('0x' || substr(md5(..),1,8) AS
-    BIGINT), so oracle twins agree exactly."""
-    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")).cast("binary"))
+    BIGINT), so oracle twins agree exactly. This is the ONE copy of the
+    cross-engine hash idiom; salt may be a literal str or a Column
+    (e.g. the bloom probes' per-hash 'bl{i}#' prefix)."""
+    salt_col = salt if isinstance(salt, Column) else F.lit(salt)
+    h = F.md5(F.concat(salt_col, id_col.cast("string")).cast("binary"))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 

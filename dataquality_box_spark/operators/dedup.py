@@ -906,18 +906,15 @@ def bloom_bit_positions(
 def _bloom_probes(
     keys: DataFrame, m: int, k: int, salt: str, id_col: str
 ) -> DataFrame:
-    """(id, pos) rows: the k hash positions of every key."""
+    """(id, pos) rows: the k hash positions of every DISTINCT key."""
+    from .curation import _hash_bucket
+
     idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i")
-    probes = keys.select(F.col(id_col), idx)
-    h = F.md5(
-        F.concat(
-            F.lit(salt),
-            F.col("__i").cast("string"),
-            F.lit("#"),
-            F.col(id_col).cast("string"),
-        ).cast("binary")
-    )
-    pos = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(m))
+    probes = keys.select(id_col).distinct().select(F.col(id_col), idx)
+    # the one shared cross-engine hash idiom, with the per-hash prefix
+    # 'bl{i}#' as a Column salt
+    prefix = F.concat(F.lit(salt), F.col("__i").cast("string"), F.lit("#"))
+    pos = F.pmod(_hash_bucket(F.col(id_col), prefix), F.lit(m))
     return probes.select(F.col(id_col), pos.alias("pos"))
 
 
@@ -930,21 +927,18 @@ def bloom_probe(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Membership probe: maybe_seen is true iff ALL k hash positions of
-    a key are set. No false negatives by construction; false-positive
-    rate ~ (1 - e^{-kn/m})^k, tuned by m. The bit set is bounded by m,
-    so it BROADCASTS — the probe is a map-side join + one groupBy(id),
-    never a shuffle of the seen-key table itself."""
+    a key are set. One row per DISTINCT key. No false negatives by
+    construction (keys are deduped before probing — a duplicated input
+    key must not double its hit count and fail the == k gate);
+    false-positive rate ~ (1 - e^{-kn/m})^k, tuned by m. The bit set is
+    bounded by m, so it BROADCASTS — the probe is ONE map-side left join
+    + one groupBy(id); the probe-key table itself never shuffles twice."""
     probes = _bloom_probes(keys, m, k, salt, id_col)
-    hit = (
-        probes.join(F.broadcast(bits), "pos")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("__nhit"))
-    )
+    marked = F.broadcast(bits.select("pos").withColumn("__hit", F.lit(1)))
+    # left join preserves every probe row (bits.pos is distinct, so at
+    # most one match per row): count(__hit) == k <=> all k positions set
     return (
-        keys.select(id_col)
-        .join(hit, id_col, "left")
-        .select(
-            id_col,
-            (F.coalesce("__nhit", F.lit(0)) == k).alias("maybe_seen"),
-        )
+        probes.join(marked, "pos", "left")
+        .groupBy(id_col)
+        .agg((F.count("__hit") == k).alias("maybe_seen"))
     )

@@ -628,6 +628,14 @@ def test_bloom_probe_no_false_negatives_and_matches_python_model(spark):
             for i in range(k)
         }
 
+    # duplicate probe keys must not double hit counts past the == k gate
+    dup_keys = keys.union(keys.where(F.col("doc_id") % 3 != 0))
+    got_dup = {
+        r["doc_id"]: r["maybe_seen"]
+        for r in bloom_probe(dup_keys, bits, m, k).collect()
+    }
+    assert got_dup == got
+
     bitset = set().union(*(positions(i) for i in seen_ids))
     fp = 0
     for i in range(120):

@@ -4092,6 +4092,73 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TF-IDF distinctive terms per language (keyword extraction): score a
+# (lang, term) by df_lang(term) * ln(N / df(term)) — how over-represented
+# a term is in one language's documents vs the corpus — and keep the
+# top-5 per language. idf is rounded to 9dp before the product (the
+# accepted ln discipline); ordering is then on bit-identical doubles
+# with term as tiebreak. Scale: one distinct (doc, lang, tok) explode,
+# two hash aggs, one join on tok (vocabulary-sized, Zipf-bounded), one
+# per-lang top-k window.
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH tt AS (SELECT doc_id, lang, {_TOKENS} AS tk FROM documents),
+    dt AS (SELECT DISTINCT doc_id, lang, tok
+           FROM (SELECT doc_id, lang, unnest(tk) AS tok FROM tt) u),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM dt),
+    idf AS (SELECT tok,
+                   ROUND(ln(CAST((SELECT nd FROM n) AS DOUBLE)
+                            / COUNT(DISTINCT doc_id)), 9) AS idf
+            FROM dt GROUP BY tok),
+    sc AS (SELECT d.lang, d.tok, COUNT(*) * i.idf AS score
+           FROM dt d JOIN idf i USING (tok) GROUP BY d.lang, d.tok, i.idf),
+    r AS (SELECT lang, tok, score,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, tok)
+                   AS rnk
+          FROM sc)
+    SELECT lang, CAST(rnk AS INT) AS rnk, tok AS term, ROUND(score, 6) AS tfidf
+    FROM r WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    nd = dt.agg(F.countDistinct("doc_id").alias("nd"))
+    idf = (
+        dt.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            F.round(F.log(F.col("nd").cast("double") / F.col("df")), 9).alias("idf"),
+        )
+    )
+    sc = (
+        dt.groupBy("lang", "tok")
+        .agg(F.count("*").alias("dfl"))
+        .join(idf, "tok")
+        .select("lang", "tok", (F.col("dfl") * F.col("idf")).alias("score"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("score").desc(), "tok")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "lang",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("tok").alias("term"),
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
 # PII-density report per conversation: counts per PII TYPE (the same
 # compiled regexes the scrub stage applies, counted INDEPENDENTLY on the
 # raw text) + the fraction of turns carrying any PII. These are

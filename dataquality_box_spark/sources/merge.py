@@ -230,3 +230,90 @@ def latest_wins_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFra
 
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+BLOOM_M, BLOOM_K = 1 << 20, 3
+
+
+def _bloom_table(table: str) -> str:
+    return f"{table}__bloom"
+
+
+def insert_missing_bloomed(
+    spark: SparkSession,
+    io: TableIO,
+    rows: DataFrame,
+    table: str,
+    keys: list[str],
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> int:
+    """``insert_missing`` with a maintained Bloom seen-set prefilter.
+
+    The plain form's cost at scale is the anti join against the target's
+    full key set. A Bloom filter over the already-inserted keys makes
+    "definitely new" decidable WITHOUT touching the target (no false
+    negatives by construction): definitely-new rows append directly and
+    only maybe-seen rows (true re-deliveries or hash collisions) run the
+    exact anti join — with none, the target's keys are never read at
+    all. Exactness is preserved; the filter only routes.
+
+    The bit set lives in ``{table}__bloom`` (one ``pos`` column, <= m
+    rows, so its merge is a bounded-size rewrite) and is BOOTSTRAPPED
+    from the target's existing keys when absent — a pre-existing target
+    without a filter must not make old keys "definitely new". Crash
+    ordering: bits merge BEFORE the data append. A crash in between
+    leaves keys set in the filter but absent from the target, so the
+    replay routes them to the maybe side and the exact anti join admits
+    them — idempotent. (Append-first would be the unsafe order: a crash
+    before the bit-merge makes replayed keys "definitely new" and
+    double-inserts them.)
+    """
+    import os
+
+    from ..operators.dedup import _bloom_probes, bloom_probe
+
+    kj = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys]).alias("__kj")
+    target_dir = f"{io.root}/{table}"
+    target_exists = os.path.isdir(target_dir)
+    bloom_tbl = _bloom_table(table)
+    if not io.table_exists(spark, bloom_tbl) and target_exists:
+        seed = spark.read.parquet(target_dir).select(kj).distinct()
+        merge_upsert(
+            spark, io, _bloom_probes(seed, m, k, "bl", "__kj").select("pos").distinct(),
+            bloom_tbl, keys=["pos"],
+        )
+    staged = rows.withColumn("__kj", kj).localCheckpoint(eager=True)
+    if io.table_exists(spark, bloom_tbl):
+        bits = read_merged(spark, io, bloom_tbl)
+        verdict = bloom_probe(staged.select("__kj"), bits, m, k, id_col="__kj")
+        staged = staged.join(verdict, "__kj")
+        new_side = staged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = staged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        if maybe.isEmpty() or not target_exists:
+            # collisions with no target to check against are still new
+            # (bits from a crashed pre-append merge have no target rows)
+            fresh = staged.drop("maybe_seen")
+        else:
+            existing_keys = spark.read.parquet(target_dir).select(*keys).distinct()
+            checked = maybe.join(existing_keys, on=keys, how="left_anti")
+            fresh = new_side.unionByName(checked)
+    else:
+        fresh = staged  # no filter and no target: everything is new
+    fresh = fresh.localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        # bits FIRST (see crash-ordering contract above), then the data
+        merge_upsert(
+            spark,
+            io,
+            _bloom_probes(
+                fresh.select("__kj"), m, k, "bl", "__kj"
+            ).select("pos").distinct(),
+            bloom_tbl,
+            keys=["pos"],
+        )
+        fresh.drop("__kj").write.mode("append").options(**io.write_options()).parquet(
+            target_dir
+        )
+    return n

@@ -187,3 +187,79 @@ def test_bucketed_merge_migrates_legacy_unbucketed_table(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in read_merged(spark, io, "t").collect()}
     assert got == {"a": 1, "b": 20, "c": 30}
+
+
+def test_insert_missing_bloomed_parity_and_routing(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataquality_box_spark.sources.merge import (
+        _bloom_table,
+        insert_missing_bloomed,
+    )
+
+    io = TableIO(str(tmp_path))
+    first = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    assert insert_missing_bloomed(spark, io, first, "q", ["k"]) == 2
+    # overlap batch: same verdicts as plain insert_missing
+    again = spark.createDataFrame(pd.DataFrame({"k": [2, 3], "v": ["x", "c"]}))
+    assert insert_missing_bloomed(spark, io, again, "q", ["k"]) == 1
+    out = spark.read.parquet(str(tmp_path / "q")).toPandas().set_index("k").sort_index()
+    assert out.loc[2, "v"] == "b"  # original survived
+    assert list(out.index) == [1, 2, 3]
+    # idempotent replay: nothing inserted, table unchanged
+    assert insert_missing_bloomed(spark, io, again, "q", ["k"]) == 0
+    # the filter table exists and is position-bounded
+    bits = spark.read.parquet(str(tmp_path / _bloom_table("q")))
+    assert bits.columns == ["pos"]
+    assert bits.count() == bits.distinct().count()
+
+
+def test_insert_missing_bloomed_bootstraps_over_existing_target(spark, tmp_path):
+    from dataquality_box_spark.sources.merge import (
+        insert_missing,
+        insert_missing_bloomed,
+    )
+
+    io = TableIO(str(tmp_path))
+    # target created WITHOUT a filter (plain route)
+    first = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    assert insert_missing(spark, io, first, "q", ["k"]) == 2
+    # bloomed call must bootstrap bits from existing keys: k=1 re-delivery
+    # is NOT "definitely new" even though no filter existed at insert time
+    again = spark.createDataFrame(pd.DataFrame({"k": [1, 9], "v": ["dup", "z"]}))
+    assert insert_missing_bloomed(spark, io, again, "q", ["k"]) == 1
+    out = spark.read.parquet(str(tmp_path / "q")).toPandas().set_index("k").sort_index()
+    assert out.loc[1, "v"] == "a" and list(out.index) == [1, 2, 9]
+
+
+def test_insert_missing_bloomed_crash_between_bits_and_append_is_safe(
+    spark, tmp_path
+):
+    from dataquality_box_spark.operators.dedup import _bloom_probes
+    from dataquality_box_spark.sources.merge import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_table,
+        insert_missing_bloomed,
+        merge_upsert,
+    )
+    from pyspark.sql import functions as F
+
+    io = TableIO(str(tmp_path))
+    base = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]}))
+    assert insert_missing_bloomed(spark, io, base, "q", ["k"]) == 1
+    # simulate the crash window: key 7's bits merged, data never appended
+    orphan = spark.createDataFrame(pd.DataFrame({"k": [7]})).select(
+        F.col("k").cast("string").alias("__kj")
+    )
+    merge_upsert(
+        spark, io,
+        _bloom_probes(orphan, BLOOM_M, BLOOM_K, "bl", "__kj").select("pos").distinct(),
+        _bloom_table("q"), keys=["pos"],
+    )
+    # replay delivers key 7: maybe-seen routes it to the exact check,
+    # which admits it (absent from the target) — no loss, no duplicate
+    replay = spark.createDataFrame(pd.DataFrame({"k": [7], "v": ["g"]}))
+    assert insert_missing_bloomed(spark, io, replay, "q", ["k"]) == 1
+    out = spark.read.parquet(str(tmp_path / "q")).toPandas().set_index("k").sort_index()
+    assert list(out.index) == [1, 7]

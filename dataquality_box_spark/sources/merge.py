@@ -208,10 +208,22 @@ def insert_missing(
     501-631) as one anti join + append. The anti join is materialized
     ONCE (eager localCheckpoint): count and write both read the
     checkpointed rows instead of re-deriving the join (and re-reading the
-    target) per action."""
+    target) per action.
+
+    Refuses a target that carries a Bloom seen-set (``{table}__bloom``):
+    appending here without setting the keys' bits would leave the filter
+    a non-superset of the table, and a later ``insert_missing_bloomed``
+    re-delivery would rate those keys "definitely new" and double-insert
+    them — the two entry points must not be mixed per table."""
     import os
 
     target_dir = f"{io.root}/{table}"
+    if os.path.isdir(f"{io.root}/{_bloom_table(table)}"):
+        raise ValueError(
+            f"table '{table}' is bloom-tracked ({_bloom_table(table)} exists); "
+            "use insert_missing_bloomed so the filter stays a superset of "
+            "the table's keys"
+        )
     if os.path.isdir(target_dir):
         existing_keys = spark.read.parquet(target_dir).select(*keys).distinct()
         fresh = rows.join(existing_keys, on=keys, how="left_anti")
@@ -237,6 +249,32 @@ BLOOM_M, BLOOM_K = 1 << 20, 3
 
 def _bloom_table(table: str) -> str:
     return f"{table}__bloom"
+
+
+def _pin_bloom_params(io: TableIO, table: str, m: int, k: int) -> None:
+    """Persist (m, k) on first use and verify on every later call — the
+    same loud-mismatch contract as ``_pin_n_buckets``: probing with a
+    different modulus/hash-count than the stored bits were built with
+    would rate seen keys "definitely new" and silently double-insert."""
+    import os
+
+    # pin file sits BESIDE the table dir, not inside it: creating the
+    # table dir here would flip the dir-based table_exists probe before
+    # any bits are written and break the bootstrap/read path
+    pin = os.path.join(io.root, f".bloomparams__{table}")
+    if os.path.exists(pin):
+        with open(pin) as fh:
+            pm, pk = (int(x) for x in fh.read().split(":"))
+        if (pm, pk) != (m, k):
+            raise ValueError(
+                f"bloom filter '{table}' was built with m={pm}, k={pk}; "
+                f"probing with m={m}, k={k} would miss its bits and "
+                "double-insert seen keys"
+            )
+    else:
+        os.makedirs(io.root, exist_ok=True)
+        with open(pin, "w") as fh:
+            fh.write(f"{m}:{k}")
 
 
 def insert_missing_bloomed(
@@ -277,6 +315,7 @@ def insert_missing_bloomed(
     target_dir = f"{io.root}/{table}"
     target_exists = os.path.isdir(target_dir)
     bloom_tbl = _bloom_table(table)
+    _pin_bloom_params(io, bloom_tbl, m, k)
     if not io.table_exists(spark, bloom_tbl) and target_exists:
         seed = spark.read.parquet(target_dir).select(kj).distinct()
         merge_upsert(
@@ -287,7 +326,10 @@ def insert_missing_bloomed(
     if io.table_exists(spark, bloom_tbl):
         bits = read_merged(spark, io, bloom_tbl)
         verdict = bloom_probe(staged.select("__kj"), bits, m, k, id_col="__kj")
-        staged = staged.join(verdict, "__kj")
+        # materialize the probe ONCE: isEmpty, both union branches and
+        # the final checkpoint would each re-run the explode + broadcast
+        # join + groupBy otherwise (same discipline as insert_missing)
+        staged = staged.join(verdict, "__kj").localCheckpoint(eager=True)
         new_side = staged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = staged.filter(F.col("maybe_seen")).drop("maybe_seen")
         if maybe.isEmpty() or not target_exists:

@@ -263,3 +263,23 @@ def test_insert_missing_bloomed_crash_between_bits_and_append_is_safe(
     assert insert_missing_bloomed(spark, io, replay, "q", ["k"]) == 1
     out = spark.read.parquet(str(tmp_path / "q")).toPandas().set_index("k").sort_index()
     assert list(out.index) == [1, 7]
+
+
+def test_insert_missing_bloomed_pins_params_and_blocks_plain_route(spark, tmp_path):
+    import pytest
+
+    from dataquality_box_spark.sources.merge import (
+        insert_missing,
+        insert_missing_bloomed,
+    )
+
+    io = TableIO(str(tmp_path))
+    first = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]}))
+    assert insert_missing_bloomed(spark, io, first, "q", ["k"], m=4096, k=3) == 1
+    # different (m, k) would probe past the stored bits: loud, not silent
+    with pytest.raises(ValueError, match="m=4096"):
+        insert_missing_bloomed(spark, io, first, "q", ["k"], m=1 << 20, k=3)
+    # plain insert_missing must refuse a bloom-tracked target (it would
+    # append without setting bits and break the superset invariant)
+    with pytest.raises(ValueError, match="bloom-tracked"):
+        insert_missing(spark, io, first, "q", ["k"])

@@ -217,6 +217,12 @@ def insert_missing(
     them — the two entry points must not be mixed per table."""
     import os
 
+    if io.catalog is not None:
+        raise NotImplementedError(
+            "insert_missing reads/appends raw parquet under io.root and "
+            "would bypass a catalog-backed TableIO; use Iceberg MERGE "
+            "WHEN NOT MATCHED THEN INSERT on the catalog path"
+        )
     target_dir = f"{io.root}/{table}"
     if os.path.isdir(f"{io.root}/{_bloom_table(table)}"):
         raise ValueError(
@@ -311,6 +317,13 @@ def insert_missing_bloomed(
 
     from ..operators.dedup import _bloom_probes, bloom_probe
 
+    if io.catalog is not None:
+        raise NotImplementedError(
+            "insert_missing_bloomed reads/appends raw parquet under "
+            "io.root; on a catalog the filter pairs with Iceberg MERGE "
+            "WHEN NOT MATCHED THEN INSERT (bits-before-merge ordering "
+            "unchanged)"
+        )
     kj = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys]).alias("__kj")
     target_dir = f"{io.root}/{table}"
     target_exists = os.path.isdir(target_dir)

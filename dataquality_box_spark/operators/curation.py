@@ -225,11 +225,13 @@ def dsir_logratio_weights(
     tg = target_grams.select(b)
     raw_n = cg.groupBy("b").agg(F.count("*").alias("nr"))
     tgt_n = tg.groupBy("b").agg(F.count("*").alias("ntg"))
-    # all-buckets spine so unseen buckets still carry their smoothed mass
+    # all-buckets spine so unseen buckets still carry their smoothed mass;
+    # both count sides are bucket-bounded (<= n_buckets rows) — broadcast
+    # explicitly so the tiny spine joins never fall to a sort-merge
     spine = cg.sparkSession.range(n_buckets).select(F.col("id").cast("long").alias("b"))
     counts = (
-        spine.join(raw_n, "b", "left")
-        .join(tgt_n, "b", "left")
+        spine.join(F.broadcast(raw_n), "b", "left")
+        .join(F.broadcast(tgt_n), "b", "left")
         .select(
             "b",
             F.coalesce("nr", F.lit(0)).alias("nr"),

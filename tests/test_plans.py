@@ -232,3 +232,44 @@ def test_incremental_stored_route_has_no_cartesian(spark, tmp_path):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "band_idx" in plan and "band_key" in plan, plan
+
+
+def test_bloom_probe_is_broadcast_join_no_cross(spark):
+    """The bloom probe's bit set joins BROADCAST on pos (the map-side
+    claim in its docstring) and the plan carries no cartesian product."""
+    from dataquality_box_spark.operators.dedup import (
+        bloom_bit_positions,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    bits = bloom_bit_positions(keys.where(F.col("doc_id") % 2 == 0), 1024, 3)
+    plan = _plan(bloom_probe(keys, bits, 1024, 3))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_logratio_table_broadcasts(spark):
+    """DSIR's per-bucket log-ratio table is n_buckets rows — it must
+    reach the doc-side join as a broadcast, never a shuffle join."""
+    from dataquality_box_spark.functions.text import ngram_array, tokens
+    from dataquality_box_spark.operators.curation import dsir_logratio_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i * 3) % 7} end") for i in range(40)],
+        "doc_id long, text string",
+    )
+    grams = docs.select(
+        "doc_id", F.explode(ngram_array(tokens(F.col("text")), 2)).alias("g")
+    )
+    plan = _plan(
+        dsir_logratio_weights(
+            grams.where(F.col("doc_id") % 4 != 0),
+            grams.where(F.col("doc_id") % 4 == 0),
+            n_buckets=16,
+        )
+    )
+    # the lr-table join on b is a BroadcastHashJoin; no SortMergeJoin
+    # should appear anywhere in the weight plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

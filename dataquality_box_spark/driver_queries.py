@@ -4092,6 +4092,68 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-label embedding purity: each label's centroid (the k-means
+# update step keyed by label — operators/ann.update_centroids reused
+# verbatim) and the spread of member-to-centroid cosines. A label whose
+# mean cosine sags or whose min collapses is mislabeled/noisy — the
+# standard embedding-space diagnostic before training on labeled pairs.
+# Mean rides integer micro-units (order-free); min/max are order-free
+# by definition.
+@_q(
+    "label_centroid_spread",
+    f"""
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    cen AS (SELECT label, list(val ORDER BY i) AS ce FROM (
+      SELECT e.label, p.i, ROUND(AVG(CAST(e.embedding[p.i] AS DOUBLE)), 4) AS val
+      FROM embeddings e CROSS JOIN pos p GROUP BY e.label, p.i) GROUP BY label),
+    cc AS (
+      SELECT e.label,
+             ROUND(
+               list_reduce(list_transform(range(1, 65), i ->
+                 round(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE), 9)),
+                 (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(range(1, 65), i ->
+                    round(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE), 9)),
+                    (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(range(1, 65), i ->
+                    round(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE), 9)),
+                    (a, b) -> a + b))), 6) AS cos
+      FROM embeddings e JOIN cen c USING (label))
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(CAST(ROUND(cos * 1000000, 0) AS BIGINT)) / 1000000.0
+                 / COUNT(*), 6) AS mean_cos,
+           ROUND(MIN(cos), 6) AS min_cos,
+           ROUND(MAX(cos), 6) AS max_cos
+    FROM cc GROUP BY label
+    """,
+)
+def label_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import dot_rounded, update_centroids
+
+    e = _tbl(spark, sf_dir, "embeddings")
+    cen = update_centroids(
+        e.select(F.col("label").alias("centroid_id"), "embedding")
+    ).select(F.col("centroid_id").alias("label"), F.col("embedding").alias("__ce"))
+    cos = F.round(
+        dot_rounded(F.col("embedding"), F.col("__ce"))
+        / (
+            F.sqrt(dot_rounded(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(dot_rounded(F.col("__ce"), F.col("__ce")))
+        ),
+        6,
+    )
+    cc = e.join(F.broadcast(cen), "label").select("label", cos.alias("cos"))
+    c6 = F.round(F.col("cos") * F.lit(1000000.0), 0).cast("long")
+    return cc.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(c6) / F.lit(1000000.0) / F.count("*"), 6
+        ).alias("mean_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )
+
+
 # TF-IDF distinctive terms per language (keyword extraction): score a
 # (lang, term) by df_lang(term) * ln(N / df(term)) — how over-represented
 # a term is in one language's documents vs the corpus — and keep the

@@ -4092,6 +4092,79 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Classifier feature matrix (the FineWeb-edu / DCLM quality-classifier
+# prep stage): one wide per-doc frame assembling the engine's signals —
+# token/char counts, 6dp quality score, repetition, heuristic langid,
+# cross-doc duplicated-span fraction — ready for model training or
+# threshold sweeps. Plan shape: ONE narrow pass computes every per-doc
+# expression; the only join is the span-dup aggregate (left, md5-keyed).
+@_q(
+    "doc_feature_matrix",
+    f"""
+    WITH tt AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents),
+    w AS (SELECT DISTINCT doc_id, md5({_SPAN_EXPR}) AS h
+          FROM tt, unnest(range(1, len(tk) - {_SPAN_N - 2})) AS u(i)),
+    freq AS (SELECT h, COUNT(*) AS n_docs FROM w GROUP BY h),
+    span AS (
+      SELECT w.doc_id,
+             ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS dup_span_frac
+      FROM w JOIN freq f USING (h) GROUP BY w.doc_id),
+    base AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             {_quality_q_sql()} AS quality_score,
+             ROUND(CASE WHEN len(tk) > 0
+                   THEN 1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+                   ELSE 0.0 END, 6) AS dup_token_frac,
+             {_langid_sql('text')} AS lang_guess
+      FROM tt)
+    SELECT b.doc_id, b.n_tokens, b.n_chars, b.quality_score,
+           b.dup_token_frac, b.lang_guess,
+           ROUND(coalesce(s.dup_span_frac, 0.0), 6) AS dup_span_frac
+    FROM base b LEFT JOIN span s USING (doc_id)
+    """,
+)
+def doc_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scoring import detect_lang_udf
+    from .functions.text import ngram_array, tokens
+    from .operators.dedup import shared_hash_fraction
+
+    d = _tbl(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        _quality_q_col().alias("quality_score"),
+        F.round(
+            F.when(
+                F.size(tk) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(tk)) / F.size(tk).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        detect_lang_udf(F.col("text")).alias("lang_guess"),
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(ngram_array(tk, _SPAN_N)).alias("g"),
+    ).select("doc_id", F.md5(F.col("g").cast("binary")).alias("h")).distinct()
+    span = shared_hash_fraction(spans, "doc_id").select(
+        "doc_id", F.col("shared_frac").alias("__dsf")
+    )
+    return base.join(span, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "quality_score",
+        "dup_token_frac",
+        "lang_guess",
+        F.round(F.coalesce("__dsf", F.lit(0.0)), 6).alias("dup_span_frac"),
+    )
+
+
 # Per-label embedding purity: each label's centroid (the k-means
 # update step keyed by label — operators/ann.update_centroids reused
 # verbatim) and the spread of member-to-centroid cosines. A label whose

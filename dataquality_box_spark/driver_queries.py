@@ -4092,6 +4092,83 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dedup savings estimate per source: what dropping near-dup cluster
+# non-representatives (quality-ranked keep-one, the same policy the
+# clustered funnel runs) saves in documents and TOKENS, per source —
+# the number a 100 TB curation plan is actually costed on. Exact dups
+# are subsumed (identical docs sit in one cluster at Jaccard 1).
+@_q(
+    "dedup_savings_by_source",
+    f"""
+    WITH RECURSIVE pairs0 AS ({_jaccard_lsh_sql()}),
+    cedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs0
+               UNION SELECT doc_b, doc_a FROM pairs0),
+    reach(src, r) AS (
+      SELECT src, src FROM cedges
+      UNION
+      SELECT re.src, e.dst FROM reach re JOIN cedges e ON e.src = re.r),
+    lbl AS (SELECT src AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY src),
+    scored AS (SELECT doc_id, source, len({_TOKENS}) AS nt,
+                      {_quality_q_sql()} AS q
+               FROM documents),
+    clustered AS (
+      SELECT s.*, coalesce(l.cluster_id, s.doc_id) AS cluster_id
+      FROM scored s LEFT JOIN lbl l USING (doc_id)),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+      FROM clustered),
+    dropped AS (
+      SELECT source, COUNT(*) AS n_dropped, SUM(nt) AS tokens_saved
+      FROM ranked WHERE rn > 1 GROUP BY source),
+    tot AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS total_tokens
+            FROM scored GROUP BY source)
+    SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.total_tokens AS BIGINT) AS total_tokens,
+           CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(coalesce(d.tokens_saved, 0) AS BIGINT) AS tokens_saved,
+           ROUND(coalesce(d.tokens_saved, 0)
+                 / CAST(t.total_tokens AS DOUBLE), 6) AS saved_frac
+    FROM tot t LEFT JOIN dropped d USING (source)
+    """,
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+    from .operators.dedup import (
+        duplicate_clusters,
+        jaccard_pairs_lsh,
+        pick_representatives,
+    )
+
+    d = _tbl(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("nt"),
+        _quality_q_col().alias("q"),
+    )
+    pairs = jaccard_pairs_lsh(d, threshold=0.8, df_cap_inv=5)
+    reps = pick_representatives(
+        duplicate_clusters(pairs, all_docs=d),
+        scored.select("doc_id", F.col("q").alias("score")),
+        score_col="score",
+    )
+    flagged = scored.join(reps.select("doc_id", "keep"), "doc_id")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.sum(F.when(~F.col("keep"), F.col("nt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_saved"),
+        F.round(
+            F.sum(F.when(~F.col("keep"), F.col("nt")).otherwise(F.lit(0)))
+            / F.sum("nt").cast("double"),
+            6,
+        ).alias("saved_frac"),
+    )
+
+
 # Classifier feature matrix (the FineWeb-edu / DCLM quality-classifier
 # prep stage): one wide per-doc frame assembling the engine's signals —
 # token/char counts, 6dp quality score, repetition, heuristic langid,

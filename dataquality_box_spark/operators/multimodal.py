@@ -18,6 +18,13 @@ Codec status (what is REAL vs still FAKE):
     same 8-dim color feature as BMP (identical pixels => identical
     feature vector, property-tested). ``synth_png_bytes`` emits real
     spec-compliant PNG covering every filter type.
+  * ``image/gif``  — REAL decode: pure-Python LZW (variable code width
+    with the spec's encoder/decoder off-by-one bump convention, KwKwK
+    case, CLEAR resets, 12-bit cap) + global-color-table palette lookup,
+    same shared 8-dim color feature. ``synth_gif_bytes`` emits real
+    GIF87a with a genuinely LZW-compressed index stream (roundtrip
+    property-tested across geometries that force 9->10->11-bit growth
+    and table-reset streams).
   * ``image/jpeg`` / ``video/mp4`` — STILL FAKE: JPEG entropy decode and
     video frame extraction need Pillow / PyAV, absent in this container.
     Behind ``DQX_FAKE_DECODE=1`` (default in tests) a deterministic fake
@@ -273,12 +280,190 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return _color_features(decode_png_pixels(payload))
 
 
+# ------------------------------------------------------------------ GIF
+
+_GIF_MCS = 8  # 256-color global table -> LZW min code size 8
+_GIF_CLEAR = 1 << _GIF_MCS
+_GIF_END = _GIF_CLEAR + 1
+_GIF_MAX_CODE = 4096
+
+
+def _gif_palette(seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed ^ 0x61F)
+    return rng.integers(0, 256, (256, 3), dtype=np.uint8)
+
+
+def _lzw_encode(indices: np.ndarray) -> bytes:
+    """Real GIF LZW over 8-bit indices: dict-building compressor with
+    variable code width. The encoder is one table insert AHEAD of the
+    decoder at each emit, so it bumps its width at next_code ==
+    2^width + 1 where the decoder bumps at 2^width — the spec's classic
+    off-by-one pairing (roundtrip property tests pin it)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = _GIF_MCS + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(_GIF_CLEAR)}
+    next_code = _GIF_END + 1
+    emit(_GIF_CLEAR, width)
+    buf = bytes([int(indices[0])])
+    for px in indices[1:]:
+        nxt = buf + bytes([int(px)])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf], width)
+        # reset a little below the 4096 cap: spec-valid and sidesteps
+        # the exactly-full-table corner both here and in foreign readers
+        if next_code >= _GIF_MAX_CODE - 3:
+            emit(_GIF_CLEAR, width)
+            table = {bytes([i]): i for i in range(_GIF_CLEAR)}
+            next_code = _GIF_END + 1
+            width = _GIF_MCS + 1
+        else:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        buf = bytes([int(px)])
+    emit(table[buf], width)
+    emit(_GIF_END, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def synth_gif_bytes(width: int = 16, height: int = 12, seed: int = 0) -> bytes:
+    """REAL GIF87a bytes: logical screen descriptor, seeded 256-entry
+    global color table, one non-interlaced image, LZW-compressed index
+    stream in <=255-byte sub-blocks. Pixel content mixes random rows
+    with constant runs so the LZW table genuinely grows."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 256, (height, width), dtype=np.uint8)
+    idx[::3, :] = rng.integers(0, 8)  # runs every third row: long matches
+    palette = _gif_palette(seed)
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_encode(idx.reshape(-1))
+    blocks = bytearray([_GIF_MCS])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return (
+        b"GIF87a" + lsd + palette.tobytes() + img + bytes(blocks) + b"\x3b"
+    )
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """REAL GIF decode with the stdlib only: header + logical screen
+    descriptor, global color table, extension skip, full LZW (variable
+    width, KwKwK, CLEAR reset, 12-bit cap) and palette lookup to an
+    (h, w, 3) uint8 RGB array. Bounds, like the PNG codec's: one
+    non-interlaced image, global table only."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    off = 13
+    if not packed & 0x80:
+        raise ValueError("only global-color-table GIFs are decoded")
+    tbl_len = 2 << (packed & 0x07)
+    palette = np.frombuffer(payload[off : off + 3 * tbl_len], np.uint8).reshape(-1, 3)
+    off += 3 * tbl_len
+    while payload[off] == 0x21:  # extensions: skip sub-block chains
+        off += 2
+        while payload[off]:
+            off += payload[off] + 1
+        off += 1
+    if payload[off] != 0x2C:
+        raise ValueError("expected image descriptor")
+    _l, _t, w, h, ipacked = struct.unpack("<HHHHB", payload[off + 1 : off + 10])
+    off += 10
+    if ipacked & 0xC0:
+        raise ValueError("local color tables / interlace not decoded here")
+    mcs = payload[off]
+    off += 1
+    data = bytearray()
+    while payload[off]:
+        n = payload[off]
+        data.extend(payload[off + 1 : off + 1 + n])
+        off += n + 1
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    acc = nbits = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    def fresh_table() -> list:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    out = bytearray()
+    table = fresh_table()
+    width_bits = mcs + 1
+    prev: int | None = None
+    while True:
+        code = read(width_bits)
+        if code == clear:
+            table = fresh_table()
+            width_bits = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            out.extend(table[code])
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]  # KwKwK
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        if len(table) < _GIF_MAX_CODE:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        prev = code
+    idx = np.frombuffer(bytes(out), np.uint8)
+    if len(idx) != w * h:
+        raise ValueError("GIF pixel count mismatch")
+    return palette[idx.reshape(h, w)]
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    return _color_features(decode_gif_pixels(payload))
+
+
 def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic synthetic media table. Audio payloads are REAL WAV
-    bytes; image payloads alternate REAL BMP and REAL PNG bytes (all
-    decodable in-container, the PNGs cycling through every scanline
-    filter type); video payloads are seeded pseudo-bytes behind the
-    fake-decode seam."""
+    bytes; image payloads cycle REAL BMP, PNG and GIF bytes (all
+    decodable in-container — the PNGs cover every scanline filter type,
+    the GIFs a genuinely LZW-compressed index stream); video payloads
+    are seeded pseudo-bytes behind the fake-decode seam."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[rng.integers(0, 3, n)]
     widths = rng.integers(4, 32, n)
@@ -294,17 +479,22 @@ def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
                 )
             )
         elif k == "image":
-            if i % 2 == 0:
+            if i % 3 == 0:
                 mime_col.append("image/bmp")
                 payloads.append(
                     synth_bmp_bytes(int(widths[i]), int(heights[i]), seed=i)
                 )
-            else:
+            elif i % 3 == 1:
                 mime_col.append("image/png")
                 payloads.append(
                     synth_png_bytes(
                         int(widths[i]), int(heights[i]), seed=i, rgba=i % 4 == 3
                     )
+                )
+            else:
+                mime_col.append("image/gif")
+                payloads.append(
+                    synth_gif_bytes(int(widths[i]), int(heights[i]), seed=i)
                 )
         else:
             mime_col.append("video/mp4")
@@ -415,15 +605,17 @@ def _decode_fake(payload: bytes) -> np.ndarray:
 
 
 def decode_payload(mime: str, payload: bytes) -> np.ndarray:
-    """Route a payload to its codec: WAV, BMP and PNG decode for REAL;
-    the rest (jpeg/mp4) go through the declared fake/NotImplementedError
-    seam."""
+    """Route a payload to its codec: WAV, BMP, PNG and GIF decode for
+    REAL; the rest (jpeg/mp4) go through the declared
+    fake/NotImplementedError seam."""
     if mime == "audio/wav":
         return _decode_wav(payload)
     if mime == "image/bmp":
         return _decode_bmp(payload)
     if mime == "image/png":
         return _decode_png(payload)
+    if mime == "image/gif":
+        return _decode_gif(payload)
     return _decode_fake(payload)
 
 

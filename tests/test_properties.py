@@ -356,3 +356,46 @@ def test_png_codec_roundtrip_any_geometry(w, h, seed, rgba):
     got = decode_png_pixels(synth_png_bytes(w, h, seed=seed, rgba=rgba))
     assert got.shape == (h, w, channels)
     assert np.array_equal(got, want)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_codec_roundtrip_any_geometry(w, h, seed):
+    """synth -> decode is PIXEL-EXACT for any geometry and seed: the
+    encoder's real LZW (variable width + off-by-one bump convention) and
+    the decoder (KwKwK, width growth) must be exact inverses."""
+    from dataquality_box_spark.operators.multimodal import (
+        _gif_palette,
+        decode_gif_pixels,
+        synth_gif_bytes,
+    )
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    idx[::3, :] = rng.integers(0, 8)
+    want = _gif_palette(seed)[idx]
+    got = decode_gif_pixels(synth_gif_bytes(w, h, seed=seed))
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, want)
+
+
+def test_gif_codec_exercises_width_growth_and_table_reset():
+    """An 80x80 mostly-random index stream emits > 4093 codes: the LZW
+    width walks 9 -> 12 and at least one CLEAR reset fires mid-stream —
+    the paths a small image never touches — and decode stays exact."""
+    from dataquality_box_spark.operators.multimodal import (
+        _gif_palette,
+        decode_gif_pixels,
+        synth_gif_bytes,
+    )
+
+    seed, w, h = 3, 80, 80
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    idx[::3, :] = rng.integers(0, 8)
+    got = decode_gif_pixels(synth_gif_bytes(w, h, seed=seed))
+    assert np.array_equal(got, _gif_palette(seed)[idx])

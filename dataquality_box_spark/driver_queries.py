@@ -1060,19 +1060,30 @@ def dedup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representative — the step that turns pairs into an actual corpus dedup
 # decision. Spark side: iterative min-label propagation
 # (operators/dedup.duplicate_clusters); oracle: recursive-CTE reachability.
+def _components_sql(pairs_cte: str) -> str:
+    """Recursive min-label connected components over
+    ``{pairs_cte}(doc_a, doc_b)`` — the ONE SQL twin of
+    operators/dedup.duplicate_clusters, shared by every oracle that
+    clusters near-dup pairs (dedup_clusters, the clustered funnel,
+    dedup savings). Emits CTEs ``cedges``/``reach``/``lbl`` where lbl is
+    (doc_id, cluster_id = MIN reachable id)."""
+    return f"""cedges AS (SELECT doc_a AS src, doc_b AS dst FROM {pairs_cte}
+               UNION SELECT doc_b, doc_a FROM {pairs_cte}),
+    reach(src, r) AS (
+      SELECT src, src FROM cedges
+      UNION
+      SELECT re.src, e.dst FROM reach re JOIN cedges e ON e.src = re.r),
+    lbl AS (SELECT src AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY src)"""
+
+
 @_q(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_jaccard_lsh_sql()}),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs),
-    reach(src, r) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT re.src, e.dst FROM reach re JOIN edges e ON e.src = re.r)
-    SELECT src AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
-           MIN(r) = src AS keep
-    FROM reach GROUP BY src
+    {_components_sql("pairs")}
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           cluster_id = doc_id AS keep
+    FROM lbl
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3480,13 +3491,7 @@ def _funnel_clustered_sql() -> str:
     WITH RECURSIVE pairs0 AS ({_jaccard_lsh_sql()}),
     cpairs AS (SELECT doc_a, doc_b FROM pairs0
                WHERE doc_a % 50 <> 0 AND doc_b % 50 <> 0),
-    cedges AS (SELECT doc_a AS src, doc_b AS dst FROM cpairs
-               UNION SELECT doc_b, doc_a FROM cpairs),
-    reach(src, r) AS (
-      SELECT src, src FROM cedges
-      UNION
-      SELECT re.src, e.dst FROM reach re JOIN cedges e ON e.src = re.r),
-    lbl AS (SELECT src AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY src),
+    {_components_sql("cpairs")},
     corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0),
     scored AS (SELECT doc_id, text, lang, {_quality_q_sql()} AS q FROM corpus),
     clustered AS (
@@ -4056,13 +4061,21 @@ _SPAN_N = 8
 _SPAN_EXPR = " || ' ' || ".join(f"tk[i + {k}]" for k in range(_SPAN_N))
 
 
+def _span_windows_sql() -> str:
+    """CTE fragment ``w``/``freq``: distinct per-doc {_SPAN_N}-token
+    window hashes and their cross-doc frequency. Expects an upstream CTE
+    ``tt(doc_id, tk)``; the ONE SQL definition of a duplicated span,
+    shared by duplicated_span_stats and doc_feature_matrix."""
+    return f"""w AS (SELECT DISTINCT doc_id, md5({_SPAN_EXPR}) AS h
+          FROM tt, unnest(range(1, len(tk) - {_SPAN_N - 2})) AS u(i)),
+    freq AS (SELECT h, COUNT(*) AS n_docs FROM w GROUP BY h)"""
+
+
 @_q(
     "duplicated_span_stats",
     f"""
     WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
-    w AS (SELECT DISTINCT doc_id, md5({_SPAN_EXPR}) AS h
-          FROM tt, unnest(range(1, len(tk) - {_SPAN_N - 2})) AS u(i)),
-    freq AS (SELECT h, COUNT(*) AS n_docs FROM w GROUP BY h)
+    {_span_windows_sql()}
     SELECT w.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_windows,
            CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
@@ -4101,13 +4114,7 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_savings_by_source",
     f"""
     WITH RECURSIVE pairs0 AS ({_jaccard_lsh_sql()}),
-    cedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs0
-               UNION SELECT doc_b, doc_a FROM pairs0),
-    reach(src, r) AS (
-      SELECT src, src FROM cedges
-      UNION
-      SELECT re.src, e.dst FROM reach re JOIN cedges e ON e.src = re.r),
-    lbl AS (SELECT src AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY src),
+    {_components_sql("pairs0")},
     scored AS (SELECT doc_id, source, len({_TOKENS}) AS nt,
                       {_quality_q_sql()} AS q
                FROM documents),
@@ -4179,9 +4186,7 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_feature_matrix",
     f"""
     WITH tt AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents),
-    w AS (SELECT DISTINCT doc_id, md5({_SPAN_EXPR}) AS h
-          FROM tt, unnest(range(1, len(tk) - {_SPAN_N - 2})) AS u(i)),
-    freq AS (SELECT h, COUNT(*) AS n_docs FROM w GROUP BY h),
+    {_span_windows_sql()},
     span AS (
       SELECT w.doc_id,
              ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)

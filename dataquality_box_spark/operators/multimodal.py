@@ -325,6 +325,11 @@ def _lzw_encode(indices: np.ndarray) -> bytes:
         # reset a little below the 4096 cap: spec-valid and sidesteps
         # the exactly-full-table corner both here and in foreign readers
         if next_code >= _GIF_MAX_CODE - 3:
+            # the decoder inserts an entry for the data code just emitted
+            # BEFORE it reads this CLEAR — mirror that (virtual) insert so
+            # the CLEAR is written at the width the decoder reads it with
+            if next_code + 1 == (1 << width) + 1 and width < 12:
+                width += 1
             emit(_GIF_CLEAR, width)
             table = {bytes([i]): i for i in range(_GIF_CLEAR)}
             next_code = _GIF_END + 1
@@ -336,6 +341,11 @@ def _lzw_encode(indices: np.ndarray) -> bytes:
                 width += 1
         buf = bytes([int(px)])
     emit(table[buf], width)
+    # same virtual-insert rule for END: the decoder's insert for the
+    # final data code can bump its width, and END must be written at
+    # that bumped width or a byte-aligned stream under-reads it
+    if next_code + 1 == (1 << width) + 1 and width < 12:
+        width += 1
     emit(_GIF_END, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -385,8 +395,16 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
     palette = np.frombuffer(payload[off : off + 3 * tbl_len], np.uint8).reshape(-1, 3)
     off += 3 * tbl_len
     while payload[off] == 0x21:  # extensions: skip sub-block chains
+        label = payload[off + 1]
         off += 2
+        first_block = True
         while payload[off]:
+            # a Graphic Control Extension with the transparency flag set
+            # would make palette lookups silently WRONG for transparent
+            # pixels — refuse loudly like every other unsupported shape
+            if label == 0xF9 and first_block and payload[off + 1] & 0x01:
+                raise ValueError("transparent GIFs are not decoded here")
+            first_block = False
             off += payload[off] + 1
         off += 1
     if payload[off] != 0x2C:

@@ -399,3 +399,65 @@ def test_gif_codec_exercises_width_growth_and_table_reset():
     idx[::3, :] = rng.integers(0, 8)
     got = decode_gif_pixels(synth_gif_bytes(w, h, seed=seed))
     assert np.array_equal(got, _gif_palette(seed)[idx])
+
+
+def _gif_container(idx, seed=0):
+    """Minimal GIF87a wrapper around a raw index array (test-local so the
+    LZW core can be driven at exact emit-count boundaries)."""
+    import struct
+
+    from dataquality_box_spark.operators.multimodal import (
+        _GIF_MCS,
+        _gif_palette,
+        _lzw_encode,
+    )
+
+    h, w = idx.shape
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_encode(idx.reshape(-1))
+    blocks = bytearray([_GIF_MCS])
+    for i in range(0, len(lzw), 255):
+        c = lzw[i : i + 255]
+        blocks.append(len(c))
+        blocks.extend(c)
+    blocks.append(0)
+    return b"GIF87a" + lsd + _gif_palette(seed).tobytes() + img + bytes(blocks) + b"\x3b"
+
+
+def test_gif_lzw_end_code_at_width_boundaries():
+    """Regression: a stream whose FINAL data code lands exactly on a
+    code-width boundary desynced the END code (decoder's last insert
+    bumps its width; the encoder must mirror that virtual insert or a
+    byte-aligned stream under-reads END and crashes). Sweep lengths
+    across the 9->10 and 10->11 boundaries."""
+    from dataquality_box_spark.operators.multimodal import (
+        _gif_palette,
+        decode_gif_pixels,
+    )
+
+    for n in list(range(248, 262)) + list(range(505, 520)):
+        for seed in (0, 1):
+            rng = np.random.default_rng(seed * 1000 + n)
+            idx = rng.integers(0, 256, (1, n), dtype=np.uint8)
+            got = decode_gif_pixels(_gif_container(idx, seed))
+            assert np.array_equal(got, _gif_palette(seed)[idx]), (n, seed)
+
+
+def test_gif_transparency_refused_loudly():
+    """A GIF89a Graphic Control Extension with the transparency flag
+    would make palette lookups silently wrong — the decoder must raise
+    like every other unsupported shape (plain GCEs still skip fine)."""
+    import pytest
+
+    from dataquality_box_spark.operators.multimodal import decode_gif_pixels
+
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    base = bytearray(_gif_container(idx))
+    img_at = base.index(b"\x2c", 13 + 768)
+    gce_transparent = bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, 0x00, 0x00])
+    with pytest.raises(ValueError, match="transparent"):
+        decode_gif_pixels(bytes(base[:img_at]) + gce_transparent + bytes(base[img_at:]))
+    gce_plain = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    out = decode_gif_pixels(bytes(base[:img_at]) + gce_plain + bytes(base[img_at:]))
+    assert out.shape == (2, 2, 3)

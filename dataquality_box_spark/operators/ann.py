@@ -193,9 +193,27 @@ def pq_subvectors(
     """Explode each vector into its ``m`` contiguous subvectors:
     (id, sub_id, subvec). One narrow pass; downstream PQ training runs
     ONE Lloyd loop over this frame for all subspaces jointly instead of
-    m separate k-means jobs (m fewer corpus scans per iteration)."""
+    m separate k-means jobs (m fewer corpus scans per iteration).
+
+    Loud-guard: the embedding dimension must divide evenly by ``m`` —
+    otherwise the trailing dim % m coordinates would be silently excluded
+    from codebook training, encoding, and ADC distances. Misconfigured m
+    raises per-row (no extra driver action; the check rides the same
+    projection)."""
     dim = F.size(F.col(emb_col))
-    sub_len = (dim / m).cast("int")
+    sub_len = F.when((dim % m) == 0, (dim / m).cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pq_subvectors: embedding dim "),
+                dim.cast("string"),
+                F.lit(
+                    f" is not divisible by m={m}; the trailing dim % m "
+                    "coordinates would be silently dropped from PQ "
+                    "training/encoding/ADC — pick m dividing the dimension"
+                ),
+            )
+        ).cast("int")
+    )
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.slice(

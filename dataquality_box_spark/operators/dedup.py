@@ -28,7 +28,7 @@ these are the LLM-training-data operators the brief mandates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PERMS = 64
@@ -783,12 +783,133 @@ def incremental_lsh_pairs_stored(
     )
 
 
+def _split_mega_clusters(
+    lists: DataFrame,
+    max_cluster: int,
+    id_col: str,
+    emb_col: str,
+    split_k: int = 8,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Bound SemDeDup's per-cluster pairwise population: refine clusters
+    larger than ``max_cluster`` by recursive Voronoi splitting until
+    every refined cell fits, so Σ sz² stays O(n * max_cluster) instead of
+    O(max_sz²). Two mechanisms, in order:
+
+    1. **Exact collapse** — members whose (9-dp rounded) embedding is
+       byte-identical to a lower-id cluster-mate are marked
+       ``__exact_dup``: their cosine to that mate is exactly 1.0 ≥ tau,
+       so they never need the pairwise join at all. This also makes the
+       splitter's progress guarantee unconditional: the degenerate
+       mega-cluster (millions of copies of one vector) collapses to one
+       representative here, where no amount of k-means could separate it.
+    2. **Recursive Voronoi split** — oversized clusters (of now-distinct
+       representatives) are split by assigning each member to the nearest
+       of ``split_k`` deterministic hash-spread seed members (L2, ties to
+       the smallest seed code). Distinct seeds each capture at least
+       themselves, so every round strictly shrinks an oversized cluster;
+       typical data shrinks geometrically. Refined ids are path strings
+       ("<centroid_id>.<code>.<code>…") in ``__cid``.
+
+    Raises after ``max_depth`` rounds with a message naming SemDeDup's
+    K-scaling regime — the paper's remedy (grow K with the corpus) is the
+    structural fix when the coarse quantizer is too small for the data.
+
+    Returns ``lists`` plus ``__cid`` (refined cluster id, string) and
+    ``__exact_dup`` (bool). Each round is one tiny size agg (rows = #
+    oversized clusters), one broadcast seed join over ONLY the oversized
+    members, and a checkpoint; untouched clusters pass through.
+    """
+    from .ann import _l2_rounded
+
+    vh = F.md5(
+        F.to_json(
+            F.transform(F.col(emb_col), lambda x: F.round(x.cast("double"), 9))
+        ).cast("binary")
+    )
+    nonzero = F.aggregate(
+        F.transform(F.col(emb_col), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    ) > 0
+    w_vh = Window.partitionBy("centroid_id", "__vh").orderBy(F.col(id_col).asc())
+    refined = (
+        lists.withColumn("__cid", F.col("centroid_id").cast("string"))
+        .withColumn("__vh", vh)
+        # zero vectors have undefined cosine (pairwise yields NULL), so
+        # they are never exact-collapsed — parity with the join path
+        .withColumn(
+            "__exact_dup", (F.row_number().over(w_vh) > 1) & nonzero
+        )
+        .drop("__vh")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_depth):
+        big = [
+            r["__cid"]
+            for r in refined.filter(~F.col("__exact_dup"))
+            .groupBy("__cid")
+            .count()
+            .filter(F.col("count") > max_cluster)
+            .collect()
+        ]
+        if not big:
+            return refined
+        is_big = F.col("__cid").isin(big) & ~F.col("__exact_dup")
+        members = refined.filter(is_big)
+        hk = F.md5(F.col(id_col).cast("string").cast("binary"))
+        w_seed = Window.partitionBy("__cid").orderBy(hk.asc(), F.col(id_col).asc())
+        seeds = (
+            members.withColumn("__r", F.row_number().over(w_seed))
+            .filter(F.col("__r") <= split_k)
+            .select(
+                F.col("__cid").alias("__scid"),
+                (F.col("__r") - 1).alias("__code"),
+                F.col(emb_col).alias("__se"),
+            )
+        )
+        w_near = Window.partitionBy("__cid", id_col).orderBy(
+            F.col("__d").asc(), F.col("__code").asc()
+        )
+        split = (
+            members.join(F.broadcast(seeds), F.col("__cid") == F.col("__scid"))
+            .withColumn("__d", _l2_rounded(F.col(emb_col), F.col("__se")))
+            .withColumn("__rk", F.row_number().over(w_near))
+            .filter(F.col("__rk") == 1)
+            .withColumn(
+                "__cid", F.concat_ws(".", "__cid", F.col("__code").cast("string"))
+            )
+            .drop("__scid", "__code", "__se", "__d", "__rk")
+        )
+        refined = (
+            refined.filter(~is_big).unionByName(split).localCheckpoint(eager=True)
+        )
+    still = (
+        refined.filter(~F.col("__exact_dup"))
+        .groupBy("__cid")
+        .count()
+        .filter(F.col("count") > max_cluster)
+        .count()
+    )
+    if still:
+        raise ValueError(
+            f"semdedup: {still} cluster(s) of distinct vectors did not "
+            f"split below max_cluster={max_cluster} within "
+            f"max_depth={max_depth} Voronoi rounds — the coarse quantizer "
+            "is too small for this corpus. SemDeDup's K-scaling regime "
+            "applies: grow K with the corpus (K ≈ n / target_cluster_size) "
+            "so clusters stay bounded, or raise max_cluster/max_depth."
+        )
+    return refined
+
+
 def semdedup(
     emb: DataFrame,
     cen: DataFrame,
     tau: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by k-means cluster
     + within-cluster pairwise cosine. A vector is dropped when some
@@ -807,6 +928,16 @@ def semdedup(
     Completes the dedup suite: exact / MinHash-LSH / SimHash /
     sign-LSH-embedding routes catch copies; this catches PARAPHRASES
     (same meaning, different tokens) the lexical routes cannot.
+
+    ``max_cluster`` (mega-cluster guard): when set, clusters larger than
+    this are refined by ``_split_mega_clusters`` before the pairwise
+    join — exact-duplicate members short-circuit to (1.0, drop) without
+    any join, distinct members split recursively into Voronoi cells of
+    ≤ max_cluster — so Σ sz² is bounded by n·max_cluster instead of
+    max_sz². Pairs that cross refined-cell boundaries are not compared
+    (the same approximation the paper accepts when growing K); output
+    ``centroid_id`` stays the coarse cluster either way. None (default)
+    preserves exact per-coarse-cluster all-pairs semantics.
     """
     from .ann import assign_to_centroids, dot_rounded
 
@@ -814,13 +945,30 @@ def semdedup(
     # final join-back, and its lineage embeds the whole k-means DAG —
     # without the checkpoint the dominant cost would replay up to 3x
     lists = assign_to_centroids(emb, cen, id_col, emb_col).localCheckpoint(eager=True)
+    if max_cluster is not None:
+        refined = _split_mega_clusters(lists, max_cluster, id_col, emb_col)
+        pairside = refined.filter(~F.col("__exact_dup"))
+        exact = refined.filter(F.col("__exact_dup")).select(
+            F.col(id_col),
+            "centroid_id",
+            F.lit(1.0).alias("max_dup_cosine"),
+            # same gate the join path applies: keep iff max_dup_cosine < tau
+            F.lit(1.0 < tau).alias("keep"),
+        )
+    else:
+        pairside = lists.withColumn("__cid", F.col("centroid_id").cast("string"))
+        exact = None
     norm = F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col)))
-    a = lists.select(
-        F.col(id_col), "centroid_id", F.col(emb_col).alias("__ae"), norm.alias("__an")
+    a = pairside.select(
+        F.col(id_col),
+        "centroid_id",
+        "__cid",
+        F.col(emb_col).alias("__ae"),
+        norm.alias("__an"),
     )
-    b = lists.select(
+    b = pairside.select(
         F.col(id_col).alias("__bid"),
-        F.col("centroid_id").alias("__bc"),
+        F.col("__cid").alias("__bc"),
         F.col(emb_col).alias("__be"),
         norm.alias("__bn"),
     )
@@ -830,20 +978,26 @@ def semdedup(
     dup = (
         a.join(
             b,
-            (F.col("centroid_id") == F.col("__bc")) & (F.col("__bid") < F.col(id_col)),
+            (F.col("__cid") == F.col("__bc")) & (F.col("__bid") < F.col(id_col)),
         )
         .select(F.col(id_col), cos.alias("__cos"))
         .groupBy(id_col)
         .agg(F.max("__cos").alias("max_dup_cosine"))
     )
-    return lists.join(dup, id_col, "left").select(
-        id_col,
-        "centroid_id",
-        "max_dup_cosine",
-        (
-            F.col("max_dup_cosine").isNull() | (F.col("max_dup_cosine") < F.lit(tau))
-        ).alias("keep"),
+    out = (
+        pairside.select(id_col, "centroid_id")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            "max_dup_cosine",
+            (
+                F.col("max_dup_cosine").isNull()
+                | (F.col("max_dup_cosine") < F.lit(tau))
+            ).alias("keep"),
+        )
     )
+    return out if exact is None else out.unionByName(exact)
 
 
 def shared_hash_fraction(

@@ -105,6 +105,7 @@ def _process_one(
     cfg: QualityConfig,
     k: int,
     batch_id: str,
+    write_lock=None,
 ) -> LedgerEntry:
     """Full filter+scrub of one partition; returns its ledger entry
     (the caller appends it AFTER this returns, preserving the
@@ -121,9 +122,24 @@ def _process_one(
         # extra passes); only the reason histogram needs a second agg
         observed, obs = observe_totals(result, name=f"dqx_totals_p{k}")
         kept = kept_turns(observed)
-        io.overwrite_partition(
-            kept.withColumn(PART_COL, F.lit(k)), "result", PART_COL, k
-        )
+        if write_lock is not None:
+            # catalog mode: v1 catalog tables share ONE _temporary
+            # committer dir per table location, so concurrent partition
+            # commits into the same table corrupt each other
+            # (FileOutputCommitter has no concurrent-job protocol).
+            # Fill the cache in PARALLEL (the expensive pipeline pass),
+            # then serialize only the short cached-read commit. Iceberg's
+            # optimistic concurrent commits remove this lock in
+            # production — it exists for the session-catalog stand-in.
+            result.count()
+            with write_lock:
+                io.overwrite_partition(
+                    kept.withColumn(PART_COL, F.lit(k)), "result", PART_COL, k
+                )
+        else:
+            io.overwrite_partition(
+                kept.withColumn(PART_COL, F.lit(k)), "result", PART_COL, k
+            )
         totals = obs.get
         n_in, n_kept = int(totals["rows_in"]), int(totals["rows_kept"] or 0)
         counts = (
@@ -193,9 +209,11 @@ def process_partitions(
         return processed
 
     lock = threading.Lock()
+    # see _process_one: v1 catalog tables cannot take concurrent commits
+    write_lock = threading.Lock() if io.catalog else None
 
     def work(k: int) -> str:
-        entry = _process_one(spark, io, cfg, k, batch_id)
+        entry = _process_one(spark, io, cfg, k, batch_id, write_lock=write_lock)
         with lock:
             ledger.append(entry)
         return str(k)

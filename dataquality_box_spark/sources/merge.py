@@ -64,23 +64,20 @@ def merge_upsert(
     tables that grow with the corpus (LSH index, queue state), use
     ``merge_upsert_bucketed``: it rewrites only the key-bucket partitions
     an update touches.
-    """
-    import os
 
-    if io.catalog is not None:
-        raise NotImplementedError(
-            "merge_upsert writes raw parquet under io.root and would "
-            "silently bypass a catalog-backed TableIO; use "
-            "merge_upsert_bucketed (catalog-aware) or Iceberg MERGE INTO"
-        )
-    target_dir = f"{io.root}/{table}"
-    if os.path.isdir(target_dir):
-        existing = spark.read.parquet(target_dir)
+    Backend-agnostic: catalog mode reads the named table and replaces it
+    through ``TableIO.overwrite_table`` (snapshot ``createOrReplace`` on
+    a V2/Iceberg catalog, checkpoint + ``saveAsTable`` overwrite on the
+    v1 session catalog); the fallback keeps the staging-dir + rename
+    swap. Same contract either way: idempotent replace keyed on ``keys``.
+    """
+    if io.table_exists(spark, table):
+        existing = io.read(spark, table)
         surviving = existing.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
         merged = surviving.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
-    _atomic_overwrite(merged, io, table)
+    io.overwrite_table(merged, table)
 
 
 # partition column for key-bucketed MERGE targets (hive layout
@@ -98,14 +95,25 @@ def key_bucket(keys: list[str], n_buckets: int):
     return F.pmod(F.crc32(joined.cast("binary")), F.lit(n_buckets)).cast("int")
 
 
+NBUCKETS_PROP = "dqx.nbuckets"
+
+
+def _nbuckets_mismatch(table: str, pinned: int, n_buckets: int) -> ValueError:
+    return ValueError(
+        f"table '{table}' was bucketed with n_buckets={pinned}; "
+        f"merging with n_buckets={n_buckets} would strand stale "
+        "rows in old bucket partitions"
+    )
+
+
 def _pin_n_buckets(io: TableIO, table: str, n_buckets: int) -> None:
     """Persist the table's bucket count on first write and verify it on
     every later merge — a different n_buckets would re-bucket keys into
     different partitions while stale rows survive in the old ones (the
     same loud-mismatch contract as the partition ledger's pinned
-    n_partitions). Fallback-only seam: catalog mode carries the pin as a
-    table comment-free contract (Iceberg's native bucket transform
-    replaces it)."""
+    n_partitions). Fallback seam: catalog mode carries the pin as the
+    ``dqx.nbuckets`` table property instead (``_pin_n_buckets_catalog``;
+    Iceberg's native bucket transform would subsume both)."""
     import os
 
     pin = os.path.join(io._dir(table), ".nbuckets")
@@ -113,15 +121,30 @@ def _pin_n_buckets(io: TableIO, table: str, n_buckets: int) -> None:
         with open(pin) as fh:
             pinned = int(fh.read().strip())
         if pinned != n_buckets:
-            raise ValueError(
-                f"table '{table}' was bucketed with n_buckets={pinned}; "
-                f"merging with n_buckets={n_buckets} would strand stale "
-                "rows in old bucket partitions"
-            )
+            raise _nbuckets_mismatch(table, pinned, n_buckets)
     else:
         os.makedirs(io._dir(table), exist_ok=True)
         with open(pin, "w") as fh:
             fh.write(str(n_buckets))
+
+
+def _pin_n_buckets_catalog(
+    spark: SparkSession, io: TableIO, table: str, n_buckets: int
+) -> bool:
+    """Catalog-mode twin of ``_pin_n_buckets``: the bucket count lives in
+    the ``dqx.nbuckets`` table property. Called BEFORE the merge when the
+    table already exists (verify, raise on mismatch); returns True when
+    the property still needs stamping after a first-create merge. A
+    pre-pin legacy table (property absent) is stamped with the caller's
+    count, matching the fallback's adopt-on-first-sight behavior."""
+    if not io.table_exists(spark, table):
+        return True  # stamp after the create
+    pinned = io.get_table_property(spark, table, NBUCKETS_PROP)
+    if pinned is None:
+        io.set_table_property(spark, table, NBUCKETS_PROP, str(n_buckets))
+    elif int(pinned) != n_buckets:
+        raise _nbuckets_mismatch(table, int(pinned), n_buckets)
+    return False
 
 
 def merge_upsert_bucketed(
@@ -184,9 +207,14 @@ def merge_upsert_bucketed(
 
         merged = merged.localCheckpoint(eager=True)
         shutil.rmtree(io._dir(table), ignore_errors=True)
-    if not io.catalog:
+    if io.catalog:
+        stamp_after = _pin_n_buckets_catalog(spark, io, table, n_buckets)
+    else:
         _pin_n_buckets(io, table, n_buckets)
+        stamp_after = False
     io.overwrite_partitions_dynamic(merged, table, BUCKET_COL)
+    if stamp_after:
+        io.set_table_property(spark, table, NBUCKETS_PROP, str(n_buckets))
 
 
 def read_merged(spark: SparkSession, io: TableIO, table: str) -> DataFrame:
@@ -214,31 +242,27 @@ def insert_missing(
     appending here without setting the keys' bits would leave the filter
     a non-superset of the table, and a later ``insert_missing_bloomed``
     re-delivery would rate those keys "definitely new" and double-insert
-    them — the two entry points must not be mixed per table."""
-    import os
+    them — the two entry points must not be mixed per table.
 
-    if io.catalog is not None:
-        raise NotImplementedError(
-            "insert_missing reads/appends raw parquet under io.root and "
-            "would bypass a catalog-backed TableIO; use Iceberg MERGE "
-            "WHEN NOT MATCHED THEN INSERT on the catalog path"
-        )
-    target_dir = f"{io.root}/{table}"
-    if os.path.isdir(f"{io.root}/{_bloom_table(table)}"):
+    Backend-agnostic: catalog mode reads the named table and appends via
+    ``TableIO.append_rows`` (Iceberg MERGE WHEN NOT MATCHED THEN INSERT
+    is the native form; anti-join + append is the same result set), the
+    fallback appends parquet files."""
+    if io.table_exists(spark, _bloom_table(table)):
         raise ValueError(
             f"table '{table}' is bloom-tracked ({_bloom_table(table)} exists); "
             "use insert_missing_bloomed so the filter stays a superset of "
             "the table's keys"
         )
-    if os.path.isdir(target_dir):
-        existing_keys = spark.read.parquet(target_dir).select(*keys).distinct()
+    if io.table_exists(spark, table):
+        existing_keys = io.read(spark, table).select(*keys).distinct()
         fresh = rows.join(existing_keys, on=keys, how="left_anti")
     else:
         fresh = rows
     fresh = fresh.localCheckpoint(eager=True)
     n = fresh.count()
     if n:
-        fresh.write.mode("append").options(**io.write_options()).parquet(target_dir)
+        io.append_rows(fresh, table)
     return n
 
 
@@ -251,36 +275,103 @@ def latest_wins_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFra
 
 
 BLOOM_M, BLOOM_K = 1 << 20, 3
+# estimated false-positive rate that triggers a rebuild at a larger m;
+# rebuilds target FPR <= REBUILD/4 for headroom so they can't thrash
+BLOOM_FPR_REBUILD = 0.05
 
 
 def _bloom_table(table: str) -> str:
     return f"{table}__bloom"
 
 
-def _pin_bloom_params(io: TableIO, table: str, m: int, k: int) -> None:
-    """Persist (m, k) on first use and verify on every later call — the
-    same loud-mismatch contract as ``_pin_n_buckets``: probing with a
-    different modulus/hash-count than the stored bits were built with
-    would rate seen keys "definitely new" and silently double-insert."""
-    import os
+def _bloom_fpr(n: int, m: int, k: int) -> float:
+    """Standard Bloom FPR estimate (1 - e^{-kn/m})^k for n inserted keys."""
+    import math
 
+    return (1.0 - math.exp(-k * n / m)) ** k
+
+
+def _bloom_pin_path(io: TableIO, table: str) -> str:
     # pin file sits BESIDE the table dir, not inside it: creating the
     # table dir here would flip the dir-based table_exists probe before
-    # any bits are written and break the bootstrap/read path
-    pin = os.path.join(io.root, f".bloomparams__{table}")
-    if os.path.exists(pin):
-        with open(pin) as fh:
-            pm, pk = (int(x) for x in fh.read().split(":"))
-        if (pm, pk) != (m, k):
-            raise ValueError(
-                f"bloom filter '{table}' was built with m={pm}, k={pk}; "
-                f"probing with m={m}, k={k} would miss its bits and "
-                "double-insert seen keys"
-            )
-    else:
-        os.makedirs(io.root, exist_ok=True)
-        with open(pin, "w") as fh:
-            fh.write(f"{m}:{k}")
+    # any bits are written and break the bootstrap/read path. Used in
+    # both backends (an Iceberg deployment would carry m:k:n as table
+    # properties on the bits table instead).
+    import os
+
+    return os.path.join(io.root, f".bloomparams__{table}")
+
+
+def _read_bloom_pin(io: TableIO, table: str) -> tuple[int, int, int] | None:
+    """(m, k, n_inserted) or None. Legacy two-field pins ('m:k') read as
+    n=0 — the count estimate catches up as later inserts accumulate."""
+    import os
+
+    pin = _bloom_pin_path(io, table)
+    if not os.path.exists(pin):
+        return None
+    with open(pin) as fh:
+        parts = fh.read().strip().split(":")
+    m, k = int(parts[0]), int(parts[1])
+    n = int(parts[2]) if len(parts) > 2 else 0
+    return m, k, n
+
+
+def _write_bloom_pin(io: TableIO, table: str, m: int, k: int, n: int) -> None:
+    import os
+
+    os.makedirs(io.root, exist_ok=True)
+    with open(_bloom_pin_path(io, table), "w") as fh:
+        fh.write(f"{m}:{k}:{n}")
+
+
+def _resolve_bloom_params(
+    io: TableIO, table: str, m: int, k: int
+) -> tuple[int, int, int]:
+    """Caller (m, k) vs the pin: k must match exactly, and the pinned m
+    must be the caller's m grown by a power of 4 (saturation rebuilds
+    quadruple m, so a steady caller passing the original default keeps
+    working after the filter grew underneath it). Anything else is the
+    loud mismatch — probing with a foreign modulus/hash-count would rate
+    seen keys "definitely new" and silently double-insert. Returns the
+    effective (m, k, n_inserted)."""
+    pin = _read_bloom_pin(io, table)
+    if pin is None:
+        _write_bloom_pin(io, table, m, k, 0)
+        return m, k, 0
+    pm, pk, n = pin
+    grown = pm // m if (pm >= m and pm % m == 0) else 0
+    # power of 4: power of 2 with an even exponent
+    pow4 = grown > 0 and (grown & (grown - 1)) == 0 and (grown.bit_length() - 1) % 2 == 0
+    if pk != k or not pow4:
+        raise ValueError(
+            f"bloom filter '{table}' was built with m={pm}, k={pk}; "
+            f"probing with m={m}, k={k} would miss its bits and "
+            "double-insert seen keys"
+        )
+    return pm, pk, n
+
+
+def _rebuild_bloom(
+    spark: SparkSession, io: TableIO, table: str, bloom_tbl: str, kj, k: int, new_m: int
+) -> int:
+    """Rebuild the seen-set from the target's EXACT key set at capacity
+    ``new_m`` — a wholesale replace, never a merge: bit positions from
+    the old modulus are meaningless at the new one. Crash-safe ordering:
+    (1) drop the old bits (derived data, reconstructible), (2) pin the
+    new (m, k, n), (3) write the new bits. A crash after (1) leaves
+    no-bits + old pin and a crash after (2) leaves no-bits + new pin —
+    both recover through the bootstrap path on the next call; bits and
+    pin are never simultaneously inconsistent."""
+    from ..operators.dedup import _bloom_probes
+
+    seed = io.read(spark, table).select(kj).distinct().localCheckpoint(eager=True)
+    n = seed.count()
+    io.drop_table(spark, bloom_tbl)
+    _write_bloom_pin(io, bloom_tbl, new_m, k, n)
+    bits = _bloom_probes(seed, new_m, k, "bl", "__kj").select("pos").distinct()
+    io.overwrite_table(bits, bloom_tbl)
+    return n
 
 
 def insert_missing_bloomed(
@@ -312,29 +403,51 @@ def insert_missing_bloomed(
     them — idempotent. (Append-first would be the unsafe order: a crash
     before the bit-merge makes replayed keys "definitely new" and
     double-inserts them.)
+
+    Saturation contract: the pin tracks an inserted-distinct-key count n
+    beside (m, k); when the estimated FPR (1-e^{-kn/m})^k crosses
+    ``BLOOM_FPR_REBUILD`` the filter is REBUILT from the target's exact
+    keys at 4x (or more) capacity with a loud warning — without this the
+    FPR quietly climbs toward 1 and the prefilter degrades into the plain
+    anti join plus wasted probe work. n is an estimate (a replayed crash
+    window can skip an increment); any rebuild or bootstrap resets it to
+    the target's exact distinct-key count. Callers keep passing the
+    ORIGINAL m — ``_resolve_bloom_params`` accepts pinned power-of-4
+    growth and still raises on a genuinely foreign (m, k).
+
+    Backend-agnostic: target reads/appends and bits-table writes all go
+    through the TableIO seam (catalog mode pairs the same routing with
+    Iceberg MERGE WHEN NOT MATCHED THEN INSERT; ordering unchanged).
     """
-    import os
+    import warnings
 
     from ..operators.dedup import _bloom_probes, bloom_probe
 
-    if io.catalog is not None:
-        raise NotImplementedError(
-            "insert_missing_bloomed reads/appends raw parquet under "
-            "io.root; on a catalog the filter pairs with Iceberg MERGE "
-            "WHEN NOT MATCHED THEN INSERT (bits-before-merge ordering "
-            "unchanged)"
-        )
     kj = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys]).alias("__kj")
-    target_dir = f"{io.root}/{table}"
-    target_exists = os.path.isdir(target_dir)
+    target_exists = io.table_exists(spark, table)
     bloom_tbl = _bloom_table(table)
-    _pin_bloom_params(io, bloom_tbl, m, k)
+    m, k, n_seen = _resolve_bloom_params(io, bloom_tbl, m, k)
     if not io.table_exists(spark, bloom_tbl) and target_exists:
-        seed = spark.read.parquet(target_dir).select(kj).distinct()
-        merge_upsert(
-            spark, io, _bloom_probes(seed, m, k, "bl", "__kj").select("pos").distinct(),
-            bloom_tbl, keys=["pos"],
+        # bootstrap (also the recovery path for a crashed rebuild): bits
+        # from the target's exact keys at the pinned capacity
+        n_seen = _rebuild_bloom(spark, io, table, bloom_tbl, kj, k, m)
+    elif (
+        io.table_exists(spark, bloom_tbl)
+        and target_exists
+        and _bloom_fpr(n_seen, m, k) > BLOOM_FPR_REBUILD
+    ):
+        new_m = m
+        while _bloom_fpr(n_seen, new_m, k) > BLOOM_FPR_REBUILD / 4:
+            new_m *= 4
+        warnings.warn(
+            f"bloom filter '{bloom_tbl}' saturated (n~{n_seen}, m={m}, "
+            f"est. FPR {_bloom_fpr(n_seen, m, k):.3f} > "
+            f"{BLOOM_FPR_REBUILD}); rebuilding at m={new_m} from the "
+            "target's keys",
+            stacklevel=2,
         )
+        n_seen = _rebuild_bloom(spark, io, table, bloom_tbl, kj, k, new_m)
+        m = new_m
     staged = rows.withColumn("__kj", kj).localCheckpoint(eager=True)
     if io.table_exists(spark, bloom_tbl):
         bits = read_merged(spark, io, bloom_tbl)
@@ -350,7 +463,7 @@ def insert_missing_bloomed(
             # (bits from a crashed pre-append merge have no target rows)
             fresh = staged.drop("maybe_seen")
         else:
-            existing_keys = spark.read.parquet(target_dir).select(*keys).distinct()
+            existing_keys = io.read(spark, table).select(*keys).distinct()
             checked = maybe.join(existing_keys, on=keys, how="left_anti")
             fresh = new_side.unionByName(checked)
     else:
@@ -368,7 +481,7 @@ def insert_missing_bloomed(
             bloom_tbl,
             keys=["pos"],
         )
-        fresh.drop("__kj").write.mode("append").options(**io.write_options()).parquet(
-            target_dir
-        )
+        io.append_rows(fresh.drop("__kj"), table)
+        n_seen += fresh.select("__kj").distinct().count()
+        _write_bloom_pin(io, bloom_tbl, m, k, n_seen)
     return n

@@ -112,11 +112,17 @@ class TableIO:
     def _ensure_catalog_table(self, df: DataFrame, table: str, part_col: str) -> None:
         spark = df.sparkSession
         if not spark.catalog.tableExists(self._qualified(table)):
-            # partition column last (hive layout); empty frame pins schema
+            # partition column last (hive layout). The empty frame that
+            # pins the schema is built FROM the schema, never by running
+            # df.limit(0): limit(0) executes the caller's plan skeleton,
+            # and if that plan carries an Observation (CollectMetrics),
+            # the optimizer's empty-relation propagation eliminates the
+            # metrics node and completes the observation with a
+            # schemaless empty row — poisoning the caller's obs.get.
             cols = [c for c in df.columns if c != part_col] + [part_col]
+            schema = df.select(*cols).schema
             (
-                df.select(*cols)
-                .limit(0)
+                spark.createDataFrame([], schema)
                 .write.partitionBy(part_col)
                 .format("parquet")
                 .options(**self.write_options())
@@ -208,6 +214,101 @@ class TableIO:
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def overwrite_table(self, df: DataFrame, table: str) -> None:
+        """Whole-table atomic replace (the MERGE write side for small
+        keyed digest tables). Catalog mode: V2 catalogs get the
+        snapshot-atomic ``writeTo().createOrReplace()``; the session
+        catalog (v1) gets ``saveAsTable(mode=overwrite)`` after an eager
+        localCheckpoint — the checkpoint breaks lineage to the table
+        being replaced, so the overwrite never reads from itself (the
+        same self-read hazard the parquet fallback solves with a staging
+        dir + rename in ``merge._atomic_overwrite``)."""
+        if not self.catalog:
+            from .merge import _atomic_overwrite
+
+            _atomic_overwrite(df, self, table)
+            return
+        spark = df.sparkSession
+        q = self._qualified(table)
+        if spark.catalog.tableExists(q):
+            df = df.localCheckpoint(eager=True)
+        if self._is_v2_catalog(spark):
+            from pyspark.errors import AnalysisException
+
+            try:
+                (
+                    df.writeTo(q)
+                    .option("compression-codec", self.compression)
+                    .createOrReplace()
+                )
+                return
+            except AnalysisException as ex:
+                cond = (
+                    ex.getCondition()
+                    if hasattr(ex, "getCondition")
+                    else ex.getErrorClass()
+                )
+                if cond != "_LEGACY_ERROR_TEMP_1012":
+                    raise
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .options(**self.write_options())
+            .saveAsTable(q)
+        )
+
+    def append_rows(self, df: DataFrame, table: str) -> None:
+        """Append-only write (the INSERT side of MERGE WHEN NOT MATCHED).
+        Catalog mode appends to the named table — columns are reordered
+        to the existing table's layout first, so the position-resolved
+        append can never silently transpose columns; the fallback appends
+        parquet files under the table dir."""
+        if self.catalog:
+            spark = df.sparkSession
+            q = self._qualified(table)
+            if spark.catalog.tableExists(q):
+                cols = spark.table(q).columns
+                df = df.select(*cols)
+                df.write.mode("append").format("parquet").options(
+                    **self.write_options()
+                ).saveAsTable(q)
+            else:
+                df.write.format("parquet").options(
+                    **self.write_options()
+                ).saveAsTable(q)
+            return
+        df.write.mode("append").options(**self.write_options()).parquet(
+            self._dir(table)
+        )
+
+    def drop_table(self, spark: SparkSession, table: str) -> None:
+        """Remove a table entirely (both backends). Only for DERIVED
+        tables that are fully reconstructible from their source (e.g. a
+        Bloom seen-set rebuilt from the target's keys) — never for data."""
+        if self.catalog:
+            spark.sql(f"DROP TABLE IF EXISTS {self._qualified(table)}")
+            return
+        shutil.rmtree(self._dir(table), ignore_errors=True)
+
+    def get_table_property(self, spark: SparkSession, table: str, key: str) -> str | None:
+        """Read one table property (None when absent). Properties carry
+        layout pins (bucket counts) in catalog mode — the catalog-side
+        twin of the fallback's dot-files, and exactly what Iceberg table
+        properties are for."""
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {self._qualified(table)}"
+        ).collect()
+        for r in rows:
+            if r["key"] == key:
+                return r["value"]
+        return None
+
+    def set_table_property(self, spark: SparkSession, table: str, key: str, value: str) -> None:
+        spark.sql(
+            f"ALTER TABLE {self._qualified(table)} "
+            f"SET TBLPROPERTIES ('{key}'='{value}')"
+        )
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if self.catalog:

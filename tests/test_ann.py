@@ -266,3 +266,112 @@ def test_semdedup_drops_paraphrase_keeps_first(spark):
     for v, r in out.items():
         by_cluster.setdefault(r["centroid_id"], []).append(r["keep"])
     assert all(any(ks) for ks in by_cluster.values())
+
+
+def _one_cluster_centroid(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"centroid_id": [0], "embedding": [_vec(0, 0.0)]})
+    )
+
+
+def test_semdedup_mega_cluster_exact_collapse(spark):
+    """A mega-cluster of IDENTICAL vectors (the case no k-means split can
+    separate) collapses through the exact-duplicate short-circuit: one
+    representative enters the pairwise join, everything else drops at
+    cosine 1.0 — no sz^2 blowup, no recursion."""
+    from dataquality_box_spark.operators.ann import assign_to_centroids
+    from dataquality_box_spark.operators.dedup import (
+        _split_mega_clusters,
+        semdedup,
+    )
+
+    n = 200
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(n)), "embedding": [_vec(0, 0.0)] * n})
+    )
+    cen = _one_cluster_centroid(spark)
+
+    lists = assign_to_centroids(e, cen)
+    refined = _split_mega_clusters(lists, 20, "vec_id", "embedding")
+    reps = refined.filter(~F.col("__exact_dup"))
+    assert reps.count() == 1  # exact collapse caught all but the min id
+
+    out = {r["vec_id"]: r for r in semdedup(e, cen, tau=0.95, max_cluster=20).collect()}
+    assert set(out) == set(range(n))  # one row per input vector
+    assert out[0]["keep"] and out[0]["max_dup_cosine"] is None
+    for vid in range(1, n):
+        assert not out[vid]["keep"]
+        assert out[vid]["max_dup_cosine"] == 1.0
+
+
+def test_semdedup_mega_cluster_voronoi_split_bounds_pairs(spark):
+    """A mega-cluster of DISTINCT near-identical vectors splits into
+    Voronoi cells of <= max_cluster, bounding the pairwise population to
+    n * max_cluster (vs n^2 unsplit); dedup decisions stay cell-local
+    keep-first."""
+    from dataquality_box_spark.operators.ann import assign_to_centroids
+    from dataquality_box_spark.operators.dedup import (
+        _split_mega_clusters,
+        semdedup,
+    )
+
+    n, cap = 200, 30
+    vecs = []
+    for i in range(n):
+        v = _vec(0, 0.0)
+        v[1] = 0.01 + i * 1e-4  # distinct, tightly packed
+        v[2] = 0.01 + (i % 7) * 1e-3
+        vecs.append(v)
+    e = spark.createDataFrame(pd.DataFrame({"vec_id": list(range(n)), "embedding": vecs}))
+    cen = _one_cluster_centroid(spark)
+
+    lists = assign_to_centroids(e, cen)
+    refined = _split_mega_clusters(lists, cap, "vec_id", "embedding")
+    sizes = [
+        r["count"]
+        for r in refined.filter(~F.col("__exact_dup")).groupBy("__cid").count().collect()
+    ]
+    assert sum(sizes) == n and max(sizes) <= cap
+    assert sum(s * s for s in sizes) <= n * cap  # the sz^2 bound
+
+    out = {r["vec_id"]: r for r in semdedup(e, cen, tau=0.99, max_cluster=cap).collect()}
+    assert set(out) == set(range(n))
+    assert all(r["centroid_id"] == 0 for r in out.values())  # coarse id preserved
+    # near-identical within every cell: exactly one survivor per cell,
+    # and the globally smallest id is always among them
+    assert sum(1 for r in out.values() if r["keep"]) == len(sizes)
+    assert out[0]["keep"]
+
+
+def test_semdedup_unsplittable_raises_k_scaling(spark):
+    """Depth exhaustion raises loudly, naming SemDeDup's K-scaling
+    regime, instead of quietly running an oversized pairwise join."""
+    import pytest
+
+    from dataquality_box_spark.operators.ann import assign_to_centroids
+    from dataquality_box_spark.operators.dedup import _split_mega_clusters
+
+    vecs = []
+    for i in range(40):
+        v = _vec(0, 0.0)
+        v[1] = 0.01 + i * 1e-4
+        vecs.append(v)
+    e = spark.createDataFrame(pd.DataFrame({"vec_id": list(range(40)), "embedding": vecs}))
+    lists = assign_to_centroids(e, _one_cluster_centroid(spark))
+    with pytest.raises(ValueError, match="K-scaling"):
+        _split_mega_clusters(lists, 5, "vec_id", "embedding", max_depth=0)
+
+
+def test_pq_subvectors_rejects_indivisible_m(spark):
+    """ADVICE guard: dim % m != 0 raises instead of silently truncating
+    the trailing coordinates out of PQ training/encoding/ADC."""
+    import pytest
+
+    from dataquality_box_spark.operators.ann import pq_subvectors
+
+    e = _embeddings(spark)  # DIM=64
+    with pytest.raises(Exception, match="not divisible"):
+        pq_subvectors(e, m=5).collect()
+    # dividing m still works and keeps full width
+    rows = pq_subvectors(e, m=4).collect()
+    assert all(len(r["subvec"]) == DIM // 4 for r in rows)

@@ -125,3 +125,172 @@ def test_catalog_bucketed_merge_upserts_and_prunes(spark, cat_io):
     pruned = cat_io.read(spark, "m").filter(F.col(BUCKET_COL) == b3)
     files = pruned.inputFiles()
     assert files and all(f"{BUCKET_COL}={b3}" in f for f in files)
+
+
+def _snapshot_files(base, skip_buckets):
+    """(path, size, mtime) of every data file outside the touched buckets."""
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(base):
+        if any(f"{s}" in dirpath for s in skip_buckets):
+            continue
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_catalog_merge_upsert_digest_family(spark, cat_io):
+    """merge_upsert in CATALOG mode: the digest-table MERGE (ledger /
+    report / alerts shape) creates, updates, inserts and replays
+    idempotently against the named catalog table — the path that used to
+    raise NotImplementedError."""
+    from dataquality_box_spark.sources.merge import merge_upsert
+
+    rows = spark.createDataFrame([("b0", "r1", 5), ("b0", "r2", 7)],
+                                 "batch_id string, rule_id string, hits int")
+    merge_upsert(spark, cat_io, rows, "rule_digest", keys=["batch_id", "rule_id"])
+    assert spark.catalog.tableExists(f"{DB}.rule_digest")
+
+    upd = spark.createDataFrame([("b0", "r2", 70), ("b1", "r1", 1)],
+                                "batch_id string, rule_id string, hits int")
+    merge_upsert(spark, cat_io, upd, "rule_digest", keys=["batch_id", "rule_id"])
+    got = {(r["batch_id"], r["rule_id"]): r["hits"]
+           for r in cat_io.read(spark, "rule_digest").collect()}
+    want = {("b0", "r1"): 5, ("b0", "r2"): 70, ("b1", "r1"): 1}
+    assert got == want
+    # replay is idempotent
+    merge_upsert(spark, cat_io, upd, "rule_digest", keys=["batch_id", "rule_id"])
+    got2 = {(r["batch_id"], r["rule_id"]): r["hits"]
+            for r in cat_io.read(spark, "rule_digest").collect()}
+    assert got2 == want
+
+
+def test_catalog_insert_missing(spark, cat_io):
+    from dataquality_box_spark.sources.merge import insert_missing
+
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert insert_missing(spark, cat_io, first, "t_ins", ["k"]) == 2
+    again = spark.createDataFrame([(2, "x"), (3, "c")], "k long, v string")
+    assert insert_missing(spark, cat_io, again, "t_ins", ["k"]) == 1
+    got = {r["k"]: r["v"] for r in cat_io.read(spark, "t_ins").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # original k=2 survived
+    assert insert_missing(spark, cat_io, again, "t_ins", ["k"]) == 0
+
+
+def test_catalog_insert_missing_bloomed(spark, cat_io):
+    """Bloom-routed insert in CATALOG mode: bits table is a catalog
+    table, routing stays exact, plain route blocked, replay idempotent."""
+    import pytest
+
+    from dataquality_box_spark.sources.merge import (
+        _bloom_table,
+        insert_missing,
+        insert_missing_bloomed,
+    )
+
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert insert_missing_bloomed(spark, cat_io, first, "t_bl", ["k"]) == 2
+    assert spark.catalog.tableExists(f"{DB}.{_bloom_table('t_bl')}")
+    again = spark.createDataFrame([(2, "x"), (3, "c")], "k long, v string")
+    assert insert_missing_bloomed(spark, cat_io, again, "t_bl", ["k"]) == 1
+    got = {r["k"]: r["v"] for r in cat_io.read(spark, "t_bl").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    assert insert_missing_bloomed(spark, cat_io, again, "t_bl", ["k"]) == 0
+    # mixing entry points is refused in catalog mode too
+    with pytest.raises(ValueError, match="bloom-tracked"):
+        insert_missing(spark, cat_io, again, "t_bl", ["k"])
+
+
+def test_catalog_nbuckets_pin_raises_on_mismatch(spark, cat_io):
+    """ADVICE: catalog mode must pin n_buckets like the fallback does —
+    a different count would re-bucket new keys while stale rows survive
+    in old __kb partitions. The pin lives in the dqx.nbuckets table
+    property."""
+    import pytest
+
+    from dataquality_box_spark.sources.merge import NBUCKETS_PROP, merge_upsert_bucketed
+
+    base = spark.createDataFrame([("a", 1)], "k string, v int")
+    merge_upsert_bucketed(spark, cat_io, base, "pinned", keys=["k"], n_buckets=4)
+    assert cat_io.get_table_property(spark, "pinned", NBUCKETS_PROP) == "4"
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        merge_upsert_bucketed(
+            spark, cat_io, base, "pinned", keys=["k"], n_buckets=8
+        )
+    # matching count still merges
+    merge_upsert_bucketed(
+        spark, cat_io, spark.createDataFrame([("b", 2)], "k string, v int"),
+        "pinned", keys=["k"], n_buckets=4,
+    )
+    got = {r["k"]: r["v"] for r in cat_io.read(spark, "pinned").drop("__kb").collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_catalog_bucketed_merge_is_partition_bounded(spark, cat_io, tmp_path):
+    """The untouched-partitions-byte-identical claim, asserted in CATALOG
+    mode (the fallback twin lives in test_sources): after a second merge
+    touching one bucket, every file under the other __kb=* dirs in the
+    warehouse is unchanged (same path, size, mtime)."""
+    from dataquality_box_spark.sources.merge import (
+        BUCKET_COL,
+        key_bucket,
+        merge_upsert_bucketed,
+    )
+
+    base = spark.createDataFrame([(f"k{i}", i) for i in range(40)], "k string, v int")
+    merge_upsert_bucketed(spark, cat_io, base, "pb", keys=["k"], n_buckets=8)
+
+    upd = spark.createDataFrame([("k3", 999)], "k string, v int")
+    b3 = (
+        spark.createDataFrame([("k3",)], "k string")
+        .select(key_bucket(["k"], 8).alias("b")).collect()[0]["b"]
+    )
+    wh = f"{tmp_path}/wh/pb"
+    before = _snapshot_files(wh, {f"{BUCKET_COL}={b3}"})
+    assert before  # the table has files outside the touched bucket
+    merge_upsert_bucketed(spark, cat_io, upd, "pb", keys=["k"], n_buckets=8)
+    after = _snapshot_files(wh, {f"{BUCKET_COL}={b3}"})
+    assert after == before  # untouched partitions byte-identical
+    got = {r["k"]: r["v"] for r in cat_io.read(spark, "pb").drop(BUCKET_COL).collect()}
+    assert got == {f"k{i}": i for i in range(40)} | {"k3": 999}
+
+
+def test_catalog_full_lifecycle_no_guards(spark, transcripts_df, cat_io):
+    """The VERDICT's done-criterion for the catalog seam: a full
+    resumable run + report + queue lifecycle against a catalog-backed
+    TableIO with ZERO NotImplementedError anywhere on the path."""
+    from dataquality_box_spark.operators.rules import Rule, RuleResult
+    from dataquality_box_spark.plans.ledger import Ledger
+    from dataquality_box_spark.plans.partitioned import ingest, process_partitions
+    from dataquality_box_spark.plans.queue import WorkQueue
+    from dataquality_box_spark.plans.report import write_report
+
+    # resumable partitioned run, catalog-backed
+    ingest(spark, transcripts_df, cat_io, 4)
+    done = process_partitions(spark, cat_io, n_partitions=4)
+    assert sorted(done) == ["0", "1", "2", "3"]
+    assert Ledger(f"{cat_io.root}/_ledger.jsonl").done("process") == {"0", "1", "2", "3"}
+    assert cat_io.read(spark, "result").count() > 0
+    # replay is a no-op
+    assert process_partitions(spark, cat_io, n_partitions=4) == []
+
+    # report MERGE on the catalog (used to raise)
+    rules = [Rule(rule_id="r1", severity="HIGH", logic={"type": "filter"})]
+    results = [RuleResult(rule_id="r1", status="SUCCESS", hits=None,
+                          hit_count=3, execution_time_sec=0.1)]
+    write_report(spark, cat_io, rules, results, batch_id="b0")
+    write_report(spark, cat_io, rules, results, batch_id="b0")  # idempotent
+    rr = cat_io.read(spark, "rule_results").collect()
+    assert len(rr) == 1 and rr[0]["hit_count"] == 3
+    assert cat_io.read(spark, "run_summary").collect()[0]["status"] == "SUCCESS"
+
+    # work queue lifecycle on the catalog state table
+    q = WorkQueue(spark, cat_io)
+    assert q.enqueue({"a": {"p": 1}, "b": {"p": 2}}, now=0.0) == 2
+    got = q.claim(now=1.0, batch=1)
+    assert len(got) == 1
+    q.complete(got[0]["item_id"], ok=True, now=2.0)
+    assert q.backlog() == 1

@@ -283,3 +283,56 @@ def test_insert_missing_bloomed_pins_params_and_blocks_plain_route(spark, tmp_pa
     # append without setting bits and break the superset invariant)
     with pytest.raises(ValueError, match="bloom-tracked"):
         insert_missing(spark, io, first, "q", ["k"])
+
+
+def test_insert_missing_bloomed_saturation_rebuild(spark, tmp_path):
+    """Saturation contract: once the estimated FPR crosses the rebuild
+    bound the filter is rebuilt at >=4x capacity from the target's exact
+    keys with a loud warning; routing stays exact throughout, the caller
+    keeps passing the ORIGINAL m, and a fresh-key probe against the
+    rebuilt bits is still 'definitely new'."""
+    import warnings as w
+
+    from dataquality_box_spark.operators.dedup import bloom_probe
+    from dataquality_box_spark.sources.merge import (
+        _bloom_fpr,
+        _bloom_table,
+        _read_bloom_pin,
+        insert_missing_bloomed,
+        read_merged,
+    )
+    from pyspark.sql import functions as F
+
+    io = TableIO(str(tmp_path))
+    m0, k0 = 64, 3  # tiny capacity so a few dozen keys saturate it
+    first = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(40)), "v": ["a"] * 40})
+    )
+    assert insert_missing_bloomed(spark, io, first, "q", ["k"], m=m0, k=k0) == 40
+    pm, pk, n = _read_bloom_pin(io, _bloom_table("q"))
+    assert (pm, pk, n) == (m0, k0, 40)
+    assert _bloom_fpr(n, pm, pk) > 0.05  # saturated: next call must rebuild
+
+    second = spark.createDataFrame(
+        pd.DataFrame({"k": [39, 100, 101], "v": ["dup", "b", "b"]})
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        # caller still passes the ORIGINAL m — growth is transparent
+        assert insert_missing_bloomed(spark, io, second, "q", ["k"], m=m0, k=k0) == 2
+    assert any("saturated" in str(c.message) for c in caught)
+    pm2, pk2, n2 = _read_bloom_pin(io, _bloom_table("q"))
+    assert pk2 == k0 and pm2 >= 4 * m0 and pm2 % m0 == 0
+    assert n2 == 42  # exact target count at rebuild (40) + 2 fresh keys
+    assert _bloom_fpr(n2, pm2, pk2) <= 0.05  # contract restored
+    # routing stayed exact: original k=39 row survived, no duplicates
+    out = spark.read.parquet(str(tmp_path / "q")).toPandas()
+    assert len(out) == 42 and out.loc[out.k == 39, "v"].tolist() == ["a"]
+    # steady state: a genuinely fresh key probes 'definitely new' against
+    # the rebuilt bits at the grown m
+    bits = read_merged(spark, io, _bloom_table("q"))
+    probe = spark.createDataFrame(pd.DataFrame({"__kj": ["999999"]}))
+    verdict = bloom_probe(probe, bits, pm2, pk2, id_col="__kj").collect()
+    assert verdict[0]["maybe_seen"] is False
+    # replay of the grown filter is idempotent and accepted at original m
+    assert insert_missing_bloomed(spark, io, second, "q", ["k"], m=m0, k=k0) == 0

@@ -3512,9 +3512,14 @@ def curation_funnel_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters collapse to their best-quality representative (transitive
     A~B~C keeps ONE doc, argmax q), then quality / decontamination /
     stratified sampling flags ride the same frame. The LSH pair route
-    and the shingle join each run once."""
+    and the shingle join each run once.
+
+    CC runs the large-star/small-star form (O(log n) rounds): the
+    min-label walk's O(diameter) cap would RAISE on a duplicate chain
+    longer than 20 links, and a funnel must not fail on pathological
+    chain shapes — same output contract, so the oracle is unchanged."""
     from .operators.dedup import (
-        duplicate_clusters,
+        duplicate_clusters_star,
         jaccard_pairs_lsh,
         pick_representatives,
     )
@@ -3527,7 +3532,7 @@ def curation_funnel_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_a") % 50 != 0) & (F.col("doc_b") % 50 != 0)
     )
     reps = pick_representatives(
-        duplicate_clusters(pairs, all_docs=corpus),
+        duplicate_clusters_star(pairs, all_docs=corpus),
         scored.select("doc_id", F.col("q").alias("score")),
         score_col="score",
     )

@@ -646,3 +646,45 @@ def test_bloom_probe_no_false_negatives_and_matches_python_model(spark):
         elif got[i]:
             fp += 1
     assert fp > 0  # m chosen so the false-positive path is exercised
+
+
+def test_funnel_cluster_stage_survives_long_chain(spark):
+    """The clustered funnel's dedup stage (star-CC + quality-ranked
+    representatives — the exact composition curation_funnel_clustered
+    runs) completes on a 100-link duplicate chain and keeps ONE doc,
+    the argmax-quality one; min-label CC at its default cap would raise
+    on this fixture, which is why the funnel wires the star variant."""
+    import pytest
+
+    from dataquality_box_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+        pick_representatives,
+    )
+
+    n = 100
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, n + 3)], "doc_id long"  # +2 pair-free docs
+    )
+    # quality peaks mid-chain: representative selection must pick 57,
+    # not the min id
+    scores = spark.createDataFrame(
+        [(i, 1.0 + (57 - abs(i - 57)) * 0.01) for i in range(1, n + 3)],
+        "doc_id long, score double",
+    )
+    reps = {
+        r["doc_id"]: r["keep"]
+        for r in pick_representatives(
+            duplicate_clusters_star(chain, all_docs=docs), scores
+        ).collect()
+    }
+    assert len(reps) == n + 2
+    kept_chain = [d for d in range(1, n + 1) if reps[d]]
+    assert kept_chain == [57]  # one survivor, the best-quality doc
+    assert reps[n + 1] and reps[n + 2]  # singletons stay kept
+    # the min-label walk at the funnel's old default raises here instead
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iters=20).collect()

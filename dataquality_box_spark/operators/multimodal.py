@@ -25,11 +25,20 @@ Codec status (what is REAL vs still FAKE):
     GIF87a with a genuinely LZW-compressed index stream (roundtrip
     property-tested across geometries that force 9->10->11-bit growth
     and table-reset streams).
-  * ``image/jpeg`` / ``video/mp4`` — STILL FAKE: JPEG entropy decode and
-    video frame extraction need Pillow / PyAV, absent in this container.
-    Behind ``DQX_FAKE_DECODE=1`` (default in tests) a deterministic fake
-    derives features from payload bytes; without it the operator raises
-    NotImplementedError naming the missing dependency.
+  * ``image/jpeg`` — REAL decode: baseline sequential DCT (SOF0, 4:4:4)
+    with NumPy + struct — marker walk, canonical Huffman (Annex K
+    tables), DC differential + AC run-length, dequant, inverse zig-zag,
+    vectorized IDCT, BT.601 YCbCr->RGB — feeding the shared 8-dim color
+    feature. ``synth_jpeg_bytes``/``encode_jpeg_bytes`` emit real JFIF
+    (quality-scaled quant tables, byte stuffing); lossy round-trips are
+    tolerance-property-tested (all-ones quant at quality=100).
+    Progressive / subsampled / restart-interval streams raise
+    NotImplementedError naming the limit.
+  * ``video/mp4`` — STILL FAKE: frame extraction needs PyAV, absent in
+    this container. Behind ``DQX_FAKE_DECODE=1`` (default in tests) a
+    deterministic fake derives features from payload bytes; without it
+    the operator raises NotImplementedError naming the missing
+    dependency.
 
 Swapping a real codec in changes only the inner per-mime function — the
 Spark plan, schema and Arrow batching are identical across all three
@@ -476,11 +485,510 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     return _color_features(decode_gif_pixels(payload))
 
 
+# ---------------------------------------------------------------------------
+# JPEG: baseline sequential DCT, 4:4:4, ITU T.81 Annex K tables — pure
+# NumPy + struct, same playbook as the PNG/GIF codecs above. The lossy
+# steps (DCT float rounding, quantization) mean round-trips are
+# tolerance-bounded, not byte-exact; at quality=100 the quant tables are
+# all ones and the residual error is DCT rounding only (property-tested
+# to a few code values per pixel).
+
+# Annex K quantization tables, natural (row-major) order
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# zig-zag scan: position k in the scan reads natural index _ZIGZAG[k]
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_DC_L_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_C_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_L_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_C_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _huff_canonical(spec):
+    """Canonical Huffman codes from a (BITS, HUFFVAL) spec: the T.81
+    C.2 generation procedure. Returns {symbol: (code, length)}."""
+    bits, vals = spec
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_qtables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling: 1..100 -> scaled Annex K tables, clamped to
+    [1, 255]. quality=100 yields all-ones (near-lossless baseline)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255).astype(np.int32)
+    qc = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255).astype(np.int32)
+    return ql, qc
+
+
+def _dct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C (C @ x = DCT coeffs)."""
+    x = (2 * np.arange(8) + 1)[None, :]
+    u = np.arange(8)[:, None]
+    c = np.cos(u * x * np.pi / 16) * 0.5
+    c[0] *= 1 / np.sqrt(2)
+    return c
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) -> (n, 8, 8) blocks in
+    raster order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad with 1s
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, code) of a DC/AC value per T.81 F.1.2.1."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg_bytes(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """REAL baseline JFIF encoder: RGB -> YCbCr (BT.601 full range), 8x8
+    orthonormal DCT, Annex-K quant tables scaled by ``quality``, zig-zag,
+    DC differential + AC run-length, Annex-K Huffman tables, 4:4:4
+    interleave, byte stuffing. Pure NumPy + struct."""
+    import struct
+
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    ql, qc = _jpeg_qtables(quality)
+    qtabs = [ql, qc, qc]
+    C = _dct_mat()
+    dc_l, ac_l = _huff_canonical(_DC_L_SPEC), _huff_canonical(_AC_L_SPEC)
+    dc_c, ac_c = _huff_canonical(_DC_C_SPEC), _huff_canonical(_AC_C_SPEC)
+    huff = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+
+    coeffs = []
+    for ci, plane in enumerate(planes):
+        padded = np.empty((ph, pw), dtype=np.float64)
+        padded[:h, :w] = plane
+        padded[h:, :w] = plane[h - 1 : h, :]  # edge-replicate pad
+        padded[:, w:] = padded[:, w - 1 : w]
+        blocks = _to_blocks(padded - 128.0)
+        dct = np.einsum("ux,nxy,vy->nuv", C, blocks, C)
+        q = np.round(dct / qtabs[ci].reshape(8, 8)).astype(np.int64)
+        coeffs.append(q.reshape(-1, 64)[:, _ZIGZAG])  # zig-zag order
+
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+    for n in range(coeffs[0].shape[0]):  # MCU raster order, 4:4:4
+        for ci in range(3):
+            zz = coeffs[ci][n]
+            dct_tab, act_tab = huff[ci]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s, code = _magnitude(diff)
+            hc, hl = dct_tab[s]
+            bw.put(hc, hl)
+            bw.put(code, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = act_tab[0xF0]  # ZRL
+                    bw.put(zc, zl)
+                    run -= 16
+                s, code = _magnitude(v)
+                hc, hl = act_tab[(run << 4) | s]
+                bw.put(hc, hl)
+                bw.put(code, s)
+                run = 0
+            if run:
+                ec, el = act_tab[0x00]  # EOB
+                bw.put(ec, el)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql[_ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qc[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])  # 1x1 sampling = 4:4:4
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, dht(0, 0, _DC_L_SPEC))
+    out += seg(0xFFC4, dht(1, 0, _AC_L_SPEC))
+    out += seg(0xFFC4, dht(0, 1, _DC_C_SPEC))
+    out += seg(0xFFC4, dht(1, 1, _AC_C_SPEC))
+    sos = b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def synth_jpeg_bytes(
+    width: int = 16, height: int = 12, seed: int = 0, quality: int = 90
+) -> bytes:
+    """REAL baseline JPEG bytes from a seeded smooth pixel field (low-
+    frequency gradients + seeded phase, so quantization error stays small
+    and visually representative; pure noise is JPEG's adversarial
+    worst case and is covered separately in tests)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    phases = rng.uniform(0, 2 * np.pi, 6)
+    freqs = rng.uniform(0.05, 0.3, 6)
+    chans = []
+    for c in range(3):
+        field = (
+            128
+            + 60 * np.sin(freqs[2 * c] * xx * 2 * np.pi + phases[2 * c])
+            + 50 * np.cos(freqs[2 * c + 1] * yy * 2 * np.pi + phases[2 * c + 1])
+        )
+        chans.append(np.clip(field, 0, 255))
+    rgb = np.stack(chans, axis=-1).astype(np.uint8)
+    return encode_jpeg_bytes(rgb, quality=quality)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    de-stuffing; raises on markers inside the scan (no DRI support)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated at 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            elif 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError(
+                    "restart markers (DRI) not supported by the baseline "
+                    "decoder"
+                )
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        b = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_map(bits, vals):
+    """(length, code) -> symbol map for bit-serial canonical decode."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _JpegBitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude code to its value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """REAL baseline JPEG decode with NumPy + struct only: marker walk,
+    canonical Huffman decode (DC differential + AC run-length, EOB/ZRL),
+    dequantization, inverse zig-zag, vectorized 8x8 IDCT, YCbCr -> RGB
+    (BT.601 full range). Supports baseline sequential (SOF0), 8-bit,
+    1 or 3 components, 1x1 sampling (4:4:4) — the shape our encoder
+    emits; progressive / subsampled / restart-interval streams raise
+    NotImplementedError naming the limit. Returns (h, w, 3) uint8
+    (grayscale is broadcast across channels)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan_comps = None
+    entropy = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (may carry several tables)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtabs[tq] = np.zeros(64, dtype=np.int32)
+                qtabs[tq][_ZIGZAG] = np.frombuffer(
+                    body, np.uint8, count=64, offset=off + 1
+                )
+                off += 65
+        elif marker == 0xC4:  # DHT (may carry several tables)
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                htabs[(cls, tid)] = _huff_decode_map(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (non-4:4:4) unsupported by the "
+                        "baseline decoder"
+                    )
+                comps.append((cid, tq))
+            sof = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG is decoded in-container"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart intervals (DRI) unsupported by the baseline decoder"
+            )
+        elif marker == 0xDA:  # SOS: entropy data follows
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            # entropy data runs to EOI; find it respecting stuffing
+            end = payload.rfind(b"\xff\xd9")
+            if end < 0:
+                raise ValueError("JPEG missing EOI")
+            entropy = payload[pos:end]
+            break
+        # other segments (APPn, COM) are skipped
+    if sof is None or scan_comps is None or entropy is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    fh, fw, comps = sof
+    if len(comps) not in (1, 3):
+        raise NotImplementedError("only 1- or 3-component JPEG supported")
+    ph, pw = (fh + 7) & ~7, (fw + 7) & ~7
+    nblocks = (ph // 8) * (pw // 8)
+    by_id = dict((cid, tq) for cid, tq in comps)
+
+    br = _JpegBitReader(entropy)
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    planes_zz = {
+        cid: np.zeros((nblocks, 64), dtype=np.int64) for cid, _, _ in scan_comps
+    }
+    for n in range(nblocks):
+        for cid, dc_id, ac_id in scan_comps:
+            dct_tab, act_tab = htabs[(0, dc_id)], htabs[(1, ac_id)]
+            s = _read_symbol(br, dct_tab)
+            diff = _extend(br.bits(s), s)
+            pred[cid] += diff
+            zz = planes_zz[cid][n]
+            zz[0] = pred[cid]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(br, act_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0x0F
+                k += run
+                if k >= 64:
+                    raise ValueError("JPEG AC coefficient index overflow")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+
+    C = _dct_mat()
+    planes = []
+    for cid, _, _ in scan_comps:
+        q = qtabs[by_id[cid]]
+        nat = np.zeros((nblocks, 64), dtype=np.float64)
+        nat[:, _ZIGZAG] = planes_zz[cid] * q[_ZIGZAG]
+        blocks = np.einsum("xu,nuv,yv->nxy", C.T.copy(), nat.reshape(-1, 8, 8), C.T.copy())
+        planes.append(_from_blocks(blocks, ph, pw)[:fh, :fw] + 128.0)
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([gray] * 3, axis=-1)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    return _color_features(decode_jpeg_pixels(payload))
+
+
 def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic synthetic media table. Audio payloads are REAL WAV
-    bytes; image payloads cycle REAL BMP, PNG and GIF bytes (all
+    bytes; image payloads cycle REAL BMP, PNG, GIF and JPEG bytes (all
     decodable in-container — the PNGs cover every scanline filter type,
-    the GIFs a genuinely LZW-compressed index stream); video payloads
+    the GIFs a genuinely LZW-compressed index stream, the JPEGs a
+    quality spread of real baseline Huffman/DCT streams); video payloads
     are seeded pseudo-bytes behind the fake-decode seam."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[rng.integers(0, 3, n)]
@@ -497,22 +1005,32 @@ def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
                 )
             )
         elif k == "image":
-            if i % 3 == 0:
+            if i % 4 == 0:
                 mime_col.append("image/bmp")
                 payloads.append(
                     synth_bmp_bytes(int(widths[i]), int(heights[i]), seed=i)
                 )
-            elif i % 3 == 1:
+            elif i % 4 == 1:
                 mime_col.append("image/png")
                 payloads.append(
                     synth_png_bytes(
-                        int(widths[i]), int(heights[i]), seed=i, rgba=i % 4 == 3
+                        int(widths[i]), int(heights[i]), seed=i, rgba=i % 3 == 0
                     )
                 )
-            else:
+            elif i % 4 == 2:
                 mime_col.append("image/gif")
                 payloads.append(
                     synth_gif_bytes(int(widths[i]), int(heights[i]), seed=i)
+                )
+            else:
+                mime_col.append("image/jpeg")
+                payloads.append(
+                    synth_jpeg_bytes(
+                        int(widths[i]),
+                        int(heights[i]),
+                        seed=i,
+                        quality=(50, 75, 90, 100)[(i // 4) % 4],
+                    )
                 )
         else:
             mime_col.append("video/mp4")
@@ -608,23 +1126,23 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def _decode_fake(payload: bytes) -> np.ndarray:
-    """STUB for the still-fake mimes (image/jpeg, video/mp4): real
-    implementations need Pillow / PyAV, absent in this container.
+    """STUB for the single still-fake mime (video/mp4): real frame
+    extraction needs PyAV, absent in this container.
 
     The deterministic fake derives an 8-dim feature from payload bytes so
     tests exercise the full Arrow round-trip with stable values.
     """
     if not _FAKE:
         raise NotImplementedError(
-            "jpeg/video decode requires Pillow/PyAV (not in container)"
+            "video decode requires PyAV (not in container)"
         )
     h = hashlib.sha1(payload).digest()
     return np.frombuffer(h[:8], dtype=np.uint8).astype(np.float32) / 255.0
 
 
 def decode_payload(mime: str, payload: bytes) -> np.ndarray:
-    """Route a payload to its codec: WAV, BMP, PNG and GIF decode for
-    REAL; the rest (jpeg/mp4) go through the declared
+    """Route a payload to its codec: WAV, BMP, PNG, GIF and JPEG decode
+    for REAL; only video/mp4 goes through the declared
     fake/NotImplementedError seam."""
     if mime == "audio/wav":
         return _decode_wav(payload)
@@ -634,6 +1152,8 @@ def decode_payload(mime: str, payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if mime == "image/gif":
         return _decode_gif(payload)
+    if mime == "image/jpeg":
+        return _decode_jpeg(payload)
     return _decode_fake(payload)
 
 

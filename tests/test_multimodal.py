@@ -124,15 +124,15 @@ def test_bmp_decode_is_real(spark):
 
 
 def test_fake_seam_still_guards_undone_codecs(spark, monkeypatch):
-    """jpeg/mp4 decode is still fake: without DQX_FAKE_DECODE the seam
-    raises NotImplementedError naming the missing dependency; WAV/BMP
+    """mp4 decode (the one remaining fake) raises NotImplementedError
+    naming the missing dependency without DQX_FAKE_DECODE; WAV/BMP
     decode REAL regardless of the flag."""
     import pytest
 
     from dataquality_box_spark.operators import multimodal as mm
 
     monkeypatch.setattr(mm, "_FAKE", False)
-    with pytest.raises(NotImplementedError, match="Pillow/PyAV"):
+    with pytest.raises(NotImplementedError, match="PyAV"):
         mm.decode_payload("video/mp4", b"\x00" * 64)
     wav_feat = mm.decode_payload("audio/wav", mm.synth_wav_bytes(ms=50))
     bmp_feat = mm.decode_payload("image/bmp", mm.synth_bmp_bytes(4, 4, seed=1))
@@ -211,3 +211,61 @@ def test_png_guards_unsupported_shapes():
     )
     with pytest.raises(NotImplementedError, match="8-bit"):
         mm.decode_png_pixels(bad)
+
+
+def test_jpeg_decode_is_real(spark):
+    """Real baseline-JPEG decode end-to-end through mapInPandas: channel
+    means of the decoded feature must track the encoder's source field
+    within a lossy-codec tolerance (quality 90), using the codec's own
+    decode as the pixel oracle (property tests bound decode error against
+    the raw field separately)."""
+    import numpy as np
+    import pandas as pd
+
+    from dataquality_box_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synth_jpeg_bytes,
+    )
+
+    w, h = 24, 16
+    payload = synth_jpeg_bytes(w, h, seed=21, quality=90)
+    rgb = decode_jpeg_pixels(payload).astype(np.float64)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0],
+            "conv_id": ["c0"],
+            "kind": ["image"],
+            "mime": ["image/jpeg"],
+            "payload": [payload],
+            "width": pd.array([w], dtype="Int32"),
+            "height": pd.array([h], dtype="Int32"),
+            "duration_ms": pd.array([None], dtype="Int32"),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    feat = extract_features(df).collect()[0]["feat"]
+    w_n, h_n, mr, mg, mb, _sg, ming, maxg = feat
+    assert (w_n, h_n) == (w / 4096, h / 4096)
+    for got, chan in ((mr, 0), (mg, 1), (mb, 2)):
+        assert abs(got - rgb[..., chan].mean() / 255.0) < 1e-5
+    gray = rgb.mean(axis=2)
+    assert abs(ming - gray.min() / 255.0) < 1e-5
+    assert abs(maxg - gray.max() / 255.0) < 1e-5
+
+
+def test_gen_media_includes_real_jpeg(spark):
+    """The synthetic media corpus now cycles JPEG in: every image/jpeg
+    payload is a real decodable baseline stream, and the media feature
+    operator handles the mixed corpus without the fake seam for images."""
+    import numpy as np
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    pdf = mm.gen_media(64, seed=42)
+    jp = pdf[pdf["mime"] == "image/jpeg"]
+    assert len(jp) > 0
+    for _, r in jp.iterrows():
+        px = mm.decode_jpeg_pixels(r["payload"])
+        assert px.shape[2] == 3
+        f = mm.decode_payload("image/jpeg", r["payload"])
+        assert len(f) == 8 and np.all(np.isfinite(f))

@@ -803,22 +803,33 @@ def _split_mega_clusters(
        splitter's progress guarantee unconditional: the degenerate
        mega-cluster (millions of copies of one vector) collapses to one
        representative here, where no amount of k-means could separate it.
-    2. **Recursive Voronoi split** — oversized clusters (of now-distinct
-       representatives) are split by assigning each member to the nearest
-       of ``split_k`` deterministic hash-spread seed members (L2, ties to
-       the smallest seed code). Distinct seeds each capture at least
-       themselves, so every round strictly shrinks an oversized cluster;
-       typical data shrinks geometrically. Refined ids are path strings
-       ("<centroid_id>.<code>.<code>…") in ``__cid``.
+    2. **Zero-vector exclusion** — all-zero embeddings (failed-embedding
+       rows) have undefined cosine with everything (the pairwise join
+       yields NULL → keep), so they are marked ``__zero`` and never enter
+       the pair join at all. Without this a mega-cluster of zero vectors
+       would be unsplittable (every pairwise distance is 0) AND pointless
+       to split — its pairs can never cross tau.
+    3. **Recursive Voronoi split** — oversized clusters (of now-distinct,
+       nonzero representatives) are split by assigning each member to the
+       nearest of ``split_k`` deterministic hash-spread seed members (L2;
+       ties break to the member's OWN seed row first — a seed always
+       claims itself even when rounded distances tie at 0 — then to the
+       smallest seed code). So every round strictly shrinks an oversized
+       cluster; typical data shrinks geometrically. Refined ids are path
+       strings ("<centroid_id>.<code>.<code>…") in ``__cid``.
 
     Raises after ``max_depth`` rounds with a message naming SemDeDup's
     K-scaling regime — the paper's remedy (grow K with the corpus) is the
-    structural fix when the coarse quantizer is too small for the data.
+    structural fix when the coarse quantizer is too small for the data
+    (reachable only for >max_cluster DISTINCT vectors packed inside the
+    L2 rounding radius — quasi-identical but not 9-dp identical).
 
-    Returns ``lists`` plus ``__cid`` (refined cluster id, string) and
-    ``__exact_dup`` (bool). Each round is one tiny size agg (rows = #
-    oversized clusters), one broadcast seed join over ONLY the oversized
-    members, and a checkpoint; untouched clusters pass through.
+    Returns ``lists`` plus ``__cid`` (refined cluster id, string),
+    ``__exact_dup`` and ``__zero`` (bool). Each round is one small size
+    agg, one broadcast join tagging oversized members (no driver-side id
+    list — the oversized-cluster set stays a DataFrame however many
+    clusters overflow), one broadcast seed join over ONLY those members,
+    and a checkpoint; untouched clusters pass through.
     """
     from .ann import _l2_rounded
 
@@ -836,6 +847,7 @@ def _split_mega_clusters(
     refined = (
         lists.withColumn("__cid", F.col("centroid_id").cast("string"))
         .withColumn("__vh", vh)
+        .withColumn("__zero", ~nonzero)
         # zero vectors have undefined cosine (pairwise yields NULL), so
         # they are never exact-collapsed — parity with the join path
         .withColumn(
@@ -844,19 +856,20 @@ def _split_mega_clusters(
         .drop("__vh")
         .localCheckpoint(eager=True)
     )
+    in_play = ~F.col("__exact_dup") & ~F.col("__zero")
     for _ in range(max_depth):
-        big = [
-            r["__cid"]
-            for r in refined.filter(~F.col("__exact_dup"))
+        oversized = (
+            refined.filter(in_play)
             .groupBy("__cid")
             .count()
             .filter(F.col("count") > max_cluster)
-            .collect()
-        ]
-        if not big:
+            .select("__cid", F.lit(True).alias("__isbig"))
+        )
+        if oversized.count() == 0:
             return refined
-        is_big = F.col("__cid").isin(big) & ~F.col("__exact_dup")
-        members = refined.filter(is_big)
+        tagged = refined.join(F.broadcast(oversized), "__cid", "left")
+        is_big = F.coalesce(F.col("__isbig"), F.lit(False)) & in_play
+        members = tagged.filter(is_big).drop("__isbig")
         hk = F.md5(F.col(id_col).cast("string").cast("binary"))
         w_seed = Window.partitionBy("__cid").orderBy(hk.asc(), F.col(id_col).asc())
         seeds = (
@@ -864,28 +877,37 @@ def _split_mega_clusters(
             .filter(F.col("__r") <= split_k)
             .select(
                 F.col("__cid").alias("__scid"),
+                F.col(id_col).alias("__sid"),
                 (F.col("__r") - 1).alias("__code"),
                 F.col(emb_col).alias("__se"),
             )
         )
+        # ties (rounded d==0 to several seeds) resolve to the member's
+        # OWN seed row first: a seed stranded at distance 0 from a
+        # lower-coded seed still claims its own cell, so distinct seeds
+        # are never merged and every round makes progress
         w_near = Window.partitionBy("__cid", id_col).orderBy(
-            F.col("__d").asc(), F.col("__code").asc()
+            F.col("__d").asc(), F.col("__self").desc(), F.col("__code").asc()
         )
         split = (
             members.join(F.broadcast(seeds), F.col("__cid") == F.col("__scid"))
             .withColumn("__d", _l2_rounded(F.col(emb_col), F.col("__se")))
+            .withColumn("__self", F.col(id_col) == F.col("__sid"))
             .withColumn("__rk", F.row_number().over(w_near))
             .filter(F.col("__rk") == 1)
             .withColumn(
                 "__cid", F.concat_ws(".", "__cid", F.col("__code").cast("string"))
             )
-            .drop("__scid", "__code", "__se", "__d", "__rk")
+            .drop("__scid", "__sid", "__code", "__se", "__d", "__self", "__rk")
         )
         refined = (
-            refined.filter(~is_big).unionByName(split).localCheckpoint(eager=True)
+            tagged.filter(~is_big)
+            .drop("__isbig")
+            .unionByName(split)
+            .localCheckpoint(eager=True)
         )
     still = (
-        refined.filter(~F.col("__exact_dup"))
+        refined.filter(in_play)
         .groupBy("__cid")
         .count()
         .filter(F.col("count") > max_cluster)
@@ -955,6 +977,19 @@ def semdedup(
             # same gate the join path applies: keep iff max_dup_cosine < tau
             F.lit(1.0 < tau).alias("keep"),
         )
+        # zero vectors: cosine with ANYTHING is NULL (0/0), so the join
+        # path can only ever produce NULL → keep for them; emit that
+        # directly instead of joining a potentially huge unsplittable
+        # block quadratically. max ignores NULLs, so removing their pairs
+        # changes no nonzero row's aggregate — exact parity.
+        zeros = refined.filter(F.col("__zero") & ~F.col("__exact_dup")).select(
+            F.col(id_col),
+            "centroid_id",
+            F.lit(None).cast("double").alias("max_dup_cosine"),
+            F.lit(True).alias("keep"),
+        )
+        exact = exact.unionByName(zeros)
+        pairside = pairside.filter(~F.col("__zero"))
     else:
         pairside = lists.withColumn("__cid", F.col("centroid_id").cast("string"))
         exact = None

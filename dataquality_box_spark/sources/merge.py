@@ -130,21 +130,18 @@ def _pin_n_buckets(io: TableIO, table: str, n_buckets: int) -> None:
 
 def _pin_n_buckets_catalog(
     spark: SparkSession, io: TableIO, table: str, n_buckets: int
-) -> bool:
+) -> None:
     """Catalog-mode twin of ``_pin_n_buckets``: the bucket count lives in
-    the ``dqx.nbuckets`` table property. Called BEFORE the merge when the
-    table already exists (verify, raise on mismatch); returns True when
-    the property still needs stamping after a first-create merge. A
+    the ``dqx.nbuckets`` table property. Called BEFORE the data commit on
+    a table that already exists (the caller creates an empty schema-pinned
+    table first on the first merge): verify and raise on mismatch. A
     pre-pin legacy table (property absent) is stamped with the caller's
     count, matching the fallback's adopt-on-first-sight behavior."""
-    if not io.table_exists(spark, table):
-        return True  # stamp after the create
     pinned = io.get_table_property(spark, table, NBUCKETS_PROP)
     if pinned is None:
         io.set_table_property(spark, table, NBUCKETS_PROP, str(n_buckets))
     elif int(pinned) != n_buckets:
         raise _nbuckets_mismatch(table, int(pinned), n_buckets)
-    return False
 
 
 def merge_upsert_bucketed(
@@ -208,13 +205,19 @@ def merge_upsert_bucketed(
         merged = merged.localCheckpoint(eager=True)
         shutil.rmtree(io._dir(table), ignore_errors=True)
     if io.catalog:
-        stamp_after = _pin_n_buckets_catalog(spark, io, table, n_buckets)
+        if not io.table_exists(spark, table):
+            # pin BEFORE data, mirroring the fallback's ordering: create
+            # the empty schema-pinned table, stamp the property, THEN
+            # commit rows. A crash between create and stamp leaves an
+            # EMPTY unpinned table (the next merge adopts its own count
+            # over zero rows — harmless); stamping after the data commit
+            # would instead leave committed buckets that a later merge
+            # with a different count could silently adopt and strand.
+            io._ensure_catalog_table(merged, table, BUCKET_COL)
+        _pin_n_buckets_catalog(spark, io, table, n_buckets)
     else:
         _pin_n_buckets(io, table, n_buckets)
-        stamp_after = False
     io.overwrite_partitions_dynamic(merged, table, BUCKET_COL)
-    if stamp_after:
-        io.set_table_property(spark, table, NBUCKETS_PROP, str(n_buckets))
 
 
 def read_merged(spark: SparkSession, io: TableIO, table: str) -> DataFrame:

@@ -362,6 +362,52 @@ def test_semdedup_unsplittable_raises_k_scaling(spark):
         _split_mega_clusters(lists, 5, "vec_id", "embedding", max_depth=0)
 
 
+def test_semdedup_zero_vector_mega_cluster_completes(spark):
+    """A mega-cluster of all-zero embeddings (failed-embedding rows) is
+    unsplittable by Voronoi AND pointless to pair (cosine with anything
+    is NULL) — the __zero exclusion routes it around both the splitter
+    and the pairwise join, so the guarded path completes where it would
+    otherwise raise, and every zero row keeps with NULL cosine (the same
+    verdict the unguarded join path produces for them)."""
+    from dataquality_box_spark.operators.ann import assign_to_centroids
+    from dataquality_box_spark.operators.dedup import (
+        _split_mega_clusters,
+        semdedup,
+    )
+
+    n_zero, cap = 60, 10
+    zeros = [[0.0] * DIM] * n_zero
+    normals = [_vec(0, 0.0), _vec(0, 0.0)]  # one exact-dup pair
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": list(range(n_zero + 2)),
+                "embedding": zeros + normals,
+            }
+        )
+    )
+    cen = _one_cluster_centroid(spark)
+
+    refined = _split_mega_clusters(
+        assign_to_centroids(e, cen), cap, "vec_id", "embedding"
+    )
+    assert refined.filter(F.col("__zero")).count() == n_zero  # all marked
+    # in-play (pair-join) population is bounded by cap despite the
+    # unsplittable zero block
+    in_play = refined.filter(~F.col("__exact_dup") & ~F.col("__zero"))
+    assert in_play.count() == 1  # the exact-dup pair collapsed to one rep
+
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(e, cen, tau=0.95, max_cluster=cap).collect()
+    }
+    assert set(out) == set(range(n_zero + 2))
+    for vid in range(n_zero):
+        assert out[vid]["keep"] and out[vid]["max_dup_cosine"] is None
+    assert out[n_zero]["keep"]  # min-id rep of the exact pair
+    assert not out[n_zero + 1]["keep"]  # its exact dup drops at 1.0
+
+
 def test_pq_subvectors_rejects_indivisible_m(spark):
     """ADVICE guard: dim % m != 0 raises instead of silently truncating
     the trailing coordinates out of PQ training/encoding/ADC."""

@@ -34,8 +34,15 @@ Codec status (what is REAL vs still FAKE):
     tolerance-property-tested (all-ones quant at quality=100).
     Progressive / subsampled / restart-interval streams raise
     NotImplementedError naming the limit.
-  * ``video/mp4`` — STILL FAKE: frame extraction needs PyAV, absent in
-    this container. Behind ``DQX_FAKE_DECODE=1`` (default in tests) a
+  * ``video/avi`` — REAL decode: Motion-JPEG in a RIFF/AVI container,
+    pure-stdlib struct parse (hdrl/strh handler check, movi chunk walk,
+    idx1 frame index) with each frame decoded by the in-repo baseline
+    JPEG codec. ``frame_indices`` seeks through idx1, so sampling k
+    frames from an N-frame stream decodes k JPEGs, not N. Non-MJPEG
+    handlers raise NotImplementedError naming the handler.
+  * ``video/mp4`` — STILL FAKE (the one remaining seam): an ISO-BMFF
+    H.264 bitstream genuinely needs PyAV/ffmpeg, absent in this
+    container. Behind ``DQX_FAKE_DECODE=1`` (default in tests) a
     deterministic fake derives features from payload bytes; without it
     the operator raises NotImplementedError naming the missing
     dependency.
@@ -983,6 +990,276 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     return _color_features(decode_jpeg_pixels(payload))
 
 
+# ------------------------------------------------------------------ AVI
+# REAL video: Motion-JPEG inside a RIFF/AVI container — pure stdlib
+# struct parsing over the container plus the in-repo baseline JPEG codec
+# per frame. This narrows the fake-decode seam to video/mp4 alone (an
+# ISO-BMFF H.264 bitstream genuinely needs PyAV/ffmpeg; MJPEG does not).
+# Reference analog of external media enrichment:
+# plugins/dq_lib/ground_truth_utils.py:50-190.
+
+
+def _avi_frame_rgb(width: int, height: int, seed: int, t: int) -> np.ndarray:
+    """Deterministic smooth frame field for frame index ``t`` — same
+    low-frequency regime as ``synth_jpeg_bytes`` with a per-frame phase
+    drift, so consecutive frames differ by a known smooth motion (tests
+    regenerate these to bound reconstruction error per frame)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    phases = rng.uniform(0, 2 * np.pi, 6)
+    freqs = rng.uniform(0.05, 0.3, 6)
+    chans = []
+    for c in range(3):
+        field = (
+            128
+            + 60 * np.sin(freqs[2 * c] * xx * 2 * np.pi + phases[2 * c] + 0.35 * t)
+            + 50 * np.cos(freqs[2 * c + 1] * yy * 2 * np.pi + phases[2 * c + 1] - 0.2 * t)
+        )
+        chans.append(np.clip(field, 0, 255))
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(body) & 1 else b""  # RIFF chunks are word-aligned
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi_bytes(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 90
+) -> bytes:
+    """REAL MJPEG-in-AVI encoder: each frame is a full baseline JFIF
+    stream (``encode_jpeg_bytes``) in a ``00dc`` chunk under the ``movi``
+    list, with an ``idx1`` index so a decoder can seek straight to any
+    frame — the property that makes sampled-frame extraction O(sampled)
+    instead of O(stream) at scale."""
+    import struct
+
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg_bytes(f, quality=quality) for f in frames]
+    max_len = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_len * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        len(jpegs),  # dwTotalFrames
+        0,
+        1,  # dwStreams
+        max_len,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<10I",
+            0,  # dwFlags
+            0,  # wPriority + wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate (rate/scale = fps)
+            0,  # dwStart
+            len(jpegs),  # dwLength in frames
+            max_len,
+            0xFFFFFFFF,  # dwQuality (driver default)
+            0,  # dwSampleSize (0 = varying)
+        )
+        + struct.pack("<4H", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack(
+        "<I2i2H", 40, w, h, 1, 24
+    ) + b"MJPG" + struct.pack("<I2i2I", w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+
+    movi_body = bytearray()
+    index = bytearray()
+    for j in jpegs:
+        # idx1 offsets are measured from the 'movi' fourcc (the common
+        # convention): first chunk header sits at offset 4
+        index += b"00dc" + struct.pack("<3I", 0x10, 4 + len(movi_body), len(j))
+        movi_body += _riff_chunk(b"00dc", j)
+    movi = _riff_list(b"movi", bytes(movi_body))
+    idx1 = _riff_chunk(b"idx1", bytes(index))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_avi_bytes(
+    width: int = 16,
+    height: int = 12,
+    n_frames: int = 4,
+    fps: int = 10,
+    seed: int = 0,
+    quality: int = 90,
+) -> bytes:
+    """REAL MJPEG AVI bytes over seeded smooth drifting frames."""
+    return encode_avi_bytes(
+        [_avi_frame_rgb(width, height, seed, t) for t in range(n_frames)],
+        fps=fps,
+        quality=quality,
+    )
+
+
+def _avi_movi_and_index(payload: bytes):
+    """Parse the RIFF tree: validate MJPG, locate the movi list and the
+    idx1 entries. Returns (movi_offset, [(chunk_offset, size)], fps) with
+    chunk offsets absolute into ``payload``."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    end = min(end, len(payload))
+    movi_off = None
+    entries = []
+    fps = 0
+    handler_seen = None
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body_at = pos + 8
+        if fourcc == b"LIST":
+            ltype = payload[body_at : body_at + 4]
+            if ltype == b"movi":
+                movi_off = body_at  # offset of the 'movi' fourcc itself
+            elif ltype in (b"hdrl", b"strl"):
+                # recurse into header lists only (movi is scanned lazily)
+                inner, inner_end = body_at + 4, body_at + size
+                while inner + 8 <= inner_end:
+                    f2 = payload[inner : inner + 4]
+                    s2 = struct.unpack_from("<I", payload, inner + 4)[0]
+                    if f2 == b"LIST":
+                        inner += 8 + 4  # descend through strl
+                        continue
+                    if f2 == b"strh":
+                        if payload[inner + 8 : inner + 12] == b"vids":
+                            handler_seen = payload[inner + 12 : inner + 16]
+                            scale, rate = struct.unpack_from(
+                                "<2I", payload, inner + 8 + 20
+                            )
+                            fps = rate // scale if scale else 0
+                    inner += 8 + s2 + (s2 & 1)
+        elif fourcc == b"idx1":
+            for off in range(body_at, body_at + size - 15, 16):
+                ckid = payload[off : off + 4]
+                if ckid[2:4] in (b"dc", b"db"):
+                    rel, ln = struct.unpack_from("<2I", payload, off + 8)
+                    entries.append((rel, ln))
+        pos = body_at + size + (size & 1)
+    if handler_seen is None:
+        raise ValueError("AVI carries no video stream header")
+    if handler_seen not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"only MJPEG-in-AVI is decoded in-container; stream handler "
+            f"{handler_seen!r} needs PyAV/ffmpeg"
+        )
+    if movi_off is None:
+        raise ValueError("AVI has no movi list")
+    # idx1 offsets are relative to the movi fourcc; some writers store
+    # absolute file offsets instead — detect by checking the first entry
+    # lands on a chunk header either way
+    abs_entries = []
+    for rel, ln in entries:
+        cand = movi_off + rel
+        if payload[cand : cand + 2] == b"00":
+            abs_entries.append((cand + 8, ln))
+        elif payload[rel : rel + 2] == b"00":
+            abs_entries.append((rel + 8, ln))
+    return movi_off, abs_entries, fps
+
+
+def _avi_sequential_chunks(payload: bytes, movi_off: int):
+    """Walk movi chunks in stream order (the no-idx1 fallback)."""
+    import struct
+
+    size = struct.unpack_from("<I", payload, movi_off - 4)[0]
+    pos, end = movi_off + 4, movi_off + size
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        ln = struct.unpack_from("<I", payload, pos + 4)[0]
+        if fourcc[2:4] in (b"dc", b"db"):
+            yield pos + 8, ln
+        pos += 8 + ln + (ln & 1)
+
+
+def decode_avi_frames(
+    payload: bytes, frame_indices: list[int] | None = None
+) -> np.ndarray:
+    """Decode MJPEG AVI frames to an (n, h, w, 3) uint8 stack.
+
+    ``frame_indices`` selects frames through the idx1 index WITHOUT
+    touching the other chunks — at scale, sampling k frames from an
+    N-frame stream decodes k JPEGs, not N (``frame_sample_plan`` rows
+    feed exactly this path). Falls back to a sequential movi walk when
+    the file carries no index."""
+    movi_off, entries, _ = _avi_movi_and_index(payload)
+    if not entries:
+        entries = list(_avi_sequential_chunks(payload, movi_off))
+    if frame_indices is not None:
+        missing = [i for i in frame_indices if i < 0 or i >= len(entries)]
+        if missing:
+            raise IndexError(
+                f"frame indices {missing} out of range (stream has "
+                f"{len(entries)} frames)"
+            )
+        entries = [entries[i] for i in frame_indices]
+    frames = [
+        decode_jpeg_pixels(payload[at : at + ln]) for at, ln in entries
+    ]
+    if not frames:
+        raise ValueError("AVI decoded zero frames")
+    return np.stack(frames)
+
+
+def _decode_avi(payload: bytes) -> np.ndarray:
+    """REAL video decode: sampled-frame features via the idx1 seek path.
+
+    8-dim feature: [n_frames/4096, w/4096, h/4096, fps/120, mean_gray,
+    std_gray, mean inter-frame |diff| of the sampled frames, duration_s]
+    — first/middle/last frames sampled, so feature cost is O(3 frames)
+    however long the stream is."""
+    movi_off, entries, fps = _avi_movi_and_index(payload)
+    if not entries:
+        entries = list(_avi_sequential_chunks(payload, movi_off))
+    n = len(entries)
+    sample = sorted({0, n // 2, n - 1})
+    stack = decode_avi_frames(payload, frame_indices=sample).astype(np.float32)
+    gray = stack.mean(axis=3)
+    inter = (
+        float(np.abs(np.diff(gray, axis=0)).mean()) / 255.0 if len(sample) > 1 else 0.0
+    )
+    h, w = stack.shape[1:3]
+    return np.array(
+        [
+            n / 4096.0,
+            w / 4096.0,
+            h / 4096.0,
+            fps / 120.0,
+            float(gray.mean()) / 255.0,
+            float(gray.std()) / 255.0,
+            inter,
+            n / fps if fps else 0.0,
+        ],
+        dtype=np.float32,
+    )
+
+
 def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic synthetic media table. Audio payloads are REAL WAV
     bytes; image payloads cycle REAL BMP, PNG, GIF and JPEG bytes (all
@@ -1032,6 +1309,18 @@ def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
                         quality=(50, 75, 90, 100)[(i // 4) % 4],
                     )
                 )
+        elif i % 2 == 0:
+            mime_col.append("video/avi")
+            payloads.append(
+                synth_avi_bytes(
+                    int(widths[i]),
+                    int(heights[i]),
+                    n_frames=max(1, int(durations[i]) // 100),
+                    fps=10,
+                    seed=i,
+                    quality=(75, 90)[(i // 2) % 2],
+                )
+            )
         else:
             mime_col.append("video/mp4")
             payloads.append(
@@ -1141,8 +1430,8 @@ def _decode_fake(payload: bytes) -> np.ndarray:
 
 
 def decode_payload(mime: str, payload: bytes) -> np.ndarray:
-    """Route a payload to its codec: WAV, BMP, PNG, GIF and JPEG decode
-    for REAL; only video/mp4 goes through the declared
+    """Route a payload to its codec: WAV, BMP, PNG, GIF, JPEG and
+    MJPEG-AVI decode for REAL; only video/mp4 goes through the declared
     fake/NotImplementedError seam."""
     if mime == "audio/wav":
         return _decode_wav(payload)
@@ -1154,6 +1443,8 @@ def decode_payload(mime: str, payload: bytes) -> np.ndarray:
         return _decode_gif(payload)
     if mime == "image/jpeg":
         return _decode_jpeg(payload)
+    if mime in ("video/avi", "video/x-msvideo"):
+        return _decode_avi(payload)
     return _decode_fake(payload)
 
 

@@ -253,6 +253,142 @@ def test_jpeg_decode_is_real(spark):
     assert abs(maxg - gray.max() / 255.0) < 1e-5
 
 
+def test_avi_mjpeg_decode_is_real(spark):
+    """Real MJPEG-in-AVI video decode end-to-end through mapInPandas:
+    the 8-dim video feature must carry the true frame count, geometry,
+    fps and a mean gray that tracks the source fields within JPEG-lossy
+    tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    w, h, n_frames, fps = 20, 16, 5, 10
+    payload = mm.synth_avi_bytes(w, h, n_frames=n_frames, fps=fps, seed=9)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0],
+            "conv_id": ["c0"],
+            "kind": ["video"],
+            "mime": ["video/avi"],
+            "payload": [payload],
+            "width": pd.array([w], dtype="Int32"),
+            "height": pd.array([h], dtype="Int32"),
+            "duration_ms": pd.array([n_frames * 1000 // fps], dtype="Int32"),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    feat = extract_features(df).collect()[0]["feat"]
+    n_n, w_n, h_n, fps_n, mean_gray, _std, inter, dur_s = feat
+    assert abs(n_n - n_frames / 4096) < 1e-6
+    assert (w_n, h_n) == (w / 4096, h / 4096)
+    assert abs(fps_n - fps / 120) < 1e-6
+    assert abs(dur_s - n_frames / fps) < 1e-6
+    src = np.stack(
+        [mm._avi_frame_rgb(w, h, 9, t) for t in (0, n_frames // 2, n_frames - 1)]
+    ).astype(np.float64)
+    assert abs(mean_gray - src.mean(axis=3).mean() / 255.0) < 0.02
+    assert inter > 0.0  # drifting frames differ
+
+
+def test_avi_sampled_frame_decode_uses_index():
+    """decode_avi_frames with frame_indices decodes exactly the selected
+    frames through the idx1 seek path — per-frame pixels must match a
+    standalone decode of the same JPEG stream, and out-of-range indices
+    raise."""
+    import numpy as np
+    import pytest
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    frames = [mm._avi_frame_rgb(12, 8, 4, t) for t in range(6)]
+    payload = mm.encode_avi_bytes(frames, fps=10, quality=90)
+    picked = mm.decode_avi_frames(payload, frame_indices=[1, 4])
+    assert picked.shape == (2, 8, 12, 3)
+    for got, t in zip(picked, (1, 4)):
+        ref = mm.decode_jpeg_pixels(mm.encode_jpeg_bytes(frames[t], quality=90))
+        assert np.array_equal(got, ref)
+    with pytest.raises(IndexError, match="out of range"):
+        mm.decode_avi_frames(payload, frame_indices=[6])
+
+
+def test_avi_no_index_falls_back_to_sequential_walk():
+    """Stripping idx1 from the container still decodes (sequential movi
+    walk), byte-identical frames to the indexed path."""
+    import struct
+
+    import numpy as np
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    payload = mm.synth_avi_bytes(10, 8, n_frames=3, seed=2)
+    # rebuild the RIFF body without the trailing idx1 chunk
+    body_end = 8 + struct.unpack_from("<I", payload, 4)[0]
+    pos = 12
+    while pos + 8 <= body_end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if fourcc == b"idx1":
+            stripped_body = payload[8:pos]
+            break
+        pos += 8 + size + (size & 1)
+    else:
+        raise AssertionError("synth AVI carries no idx1")
+    stripped = b"RIFF" + struct.pack("<I", len(stripped_body)) + stripped_body
+    assert np.array_equal(
+        mm.decode_avi_frames(stripped), mm.decode_avi_frames(payload)
+    )
+
+
+def test_avi_guards_non_mjpeg_streams():
+    """A RIFF/AVI carrying a non-MJPEG video stream raises
+    NotImplementedError naming the handler; garbage raises ValueError."""
+    import pytest
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    payload = bytearray(mm.synth_avi_bytes(8, 8, n_frames=1, seed=0))
+    at = bytes(payload).find(b"vidsMJPG")
+    assert at >= 0
+    payload[at + 4 : at + 8] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        mm.decode_avi_frames(bytes(payload))
+    with pytest.raises(ValueError, match="not an AVI"):
+        mm.decode_avi_frames(b"\x00" * 64)
+
+
+def test_fake_seam_is_mp4_only_now(spark, monkeypatch):
+    """video/avi decodes REAL regardless of DQX_FAKE_DECODE; only
+    video/mp4 remains behind the declared seam."""
+    import pytest
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_FAKE", False)
+    feat = mm.decode_payload("video/avi", mm.synth_avi_bytes(8, 8, n_frames=2))
+    assert len(feat) == 8
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        mm.decode_payload("video/mp4", b"\x00" * 64)
+
+
+def test_gen_media_includes_real_avi(spark):
+    """The synthetic media corpus cycles MJPEG-AVI in: every video/avi
+    payload is a real decodable container whose frame count matches the
+    duration the row declares."""
+    import numpy as np
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    pdf = mm.gen_media(64, seed=42)
+    avis = pdf[pdf["mime"] == "video/avi"]
+    assert len(avis) > 0
+    for _, r in avis.iterrows():
+        frames = mm.decode_avi_frames(r["payload"])
+        assert frames.shape[0] == max(1, int(r["duration_ms"]) // 100)
+        f = mm.decode_payload("video/avi", r["payload"])
+        assert len(f) == 8 and np.all(np.isfinite(f))
+
+
 def test_gen_media_includes_real_jpeg(spark):
     """The synthetic media corpus now cycles JPEG in: every image/jpeg
     payload is a real decodable baseline stream, and the media feature

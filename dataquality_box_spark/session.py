@@ -34,6 +34,25 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size shuffles by BYTES, not by core count: AQE can only coalesce
+        # DOWN from the initial partition number, so a fixed
+        # shuffle.partitions=cores silently becomes rows/32 per task as the
+        # corpus grows — at 143M turns (the 100x bench point) the conv_id
+        # window stage put 4.5M text rows in each of 32 concurrent window
+        # buffers + parquet writers and OOMed the 16g heap. Starting higher
+        # and letting AQE coalesce to ~64MB targets gives ~cores partitions
+        # at small inputs (parallelismFirst keeps every core busy) and
+        # bytes-bounded partitions at 100x (measured: AQE picks 256 for the
+        # 143M-turn window stage, 370k turns/sec, no OOM). 256 is sized to
+        # this box: per-map shuffle-bucket overhead is linear in the
+        # initial count (a small-query-heavy suite ran 31s/43s/136s at
+        # 32/256/2048), so don't start higher than the largest local corpus
+        # needs; a 1000-executor deployment raises the env knob alongside
+        # shuffle.partitions.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("DQX_INITIAL_SHUFFLE_PARTITIONS", "256"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -4522,6 +4522,194 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(e, cen, tau=0.95)
 
 
+# --- agent-trace analysis family (operators/agentic.py): loop detection,
+# self-repetition, adjacent-turn artifacts, conversation-level near-dup.
+# Agent transcripts fail in shapes web text doesn't — these four queries
+# cover the retry-loop / restated-answer / partial-flush / template-
+# conversation shapes, each one conv_id-keyed shuffle, each oracle-exact.
+
+
+@_q(
+    "agent_tool_loops",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    i AS (SELECT conv_id, role, COALESCE(tool, '') AS tool_sig, turn_idx,
+                 turn_idx - ROW_NUMBER() OVER (
+                   PARTITION BY conv_id, role, COALESCE(tool, '')
+                   ORDER BY turn_idx) AS island
+          FROM t)
+    SELECT conv_id, role, tool_sig,
+           CAST(MIN(turn_idx) AS INT) AS run_start,
+           CAST(COUNT(*) AS INT) AS run_len
+    FROM i GROUP BY conv_id, role, tool_sig, island
+    HAVING COUNT(*) >= 2
+    """,
+)
+def agent_tool_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.agentic import tool_loops
+
+    return tool_loops(transcripts_view(spark, sf_dir), min_run=2)
+
+
+@_q(
+    "turn_self_repetition",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    x AS (SELECT conv_id, turn_idx, role, list_distinct({_TOKENS}) AS toks FROM t),
+    l AS (SELECT conv_id, turn_idx, role, toks,
+                 LAG(toks) OVER (PARTITION BY conv_id, role ORDER BY turn_idx)
+                   AS prev
+          FROM x),
+    j AS (SELECT conv_id, turn_idx, role,
+                 ROUND(CASE WHEN len(list_distinct(list_concat(toks, prev))) > 0
+                       THEN len(list_intersect(toks, prev))
+                            / CAST(len(list_distinct(list_concat(toks, prev))) AS DOUBLE)
+                       ELSE 0.0 END, 6) AS jacc_prev
+          FROM l WHERE prev IS NOT NULL)
+    SELECT conv_id, turn_idx, role, jacc_prev,
+           CAST(jacc_prev >= 0.5 AS INT) AS near_repeat
+    FROM j WHERE jacc_prev > 0
+    """,
+)
+def turn_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.agentic import self_repetition
+
+    return self_repetition(transcripts_view(spark, sf_dir), threshold=0.5)
+
+
+@_q(
+    "adjacent_turn_artifacts",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    l AS (SELECT conv_id, turn_idx, role, text,
+                 LEAD(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS next_text
+          FROM t)
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN next_text = text THEN 'exact_dup'
+                WHEN length(next_text) > length(text)
+                     AND substring(next_text, 1, length(text)) = text
+                THEN 'prefix' END AS relation,
+           CAST(length(text) AS INT) AS len_cur,
+           CAST(length(next_text) AS INT) AS len_next
+    FROM l
+    WHERE next_text IS NOT NULL
+      AND (next_text = text
+           OR (length(next_text) > length(text)
+               AND substring(next_text, 1, length(text)) = text))
+    """,
+)
+def adjacent_turn_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.agentic import adjacent_artifacts
+
+    return adjacent_artifacts(transcripts_view(spark, sf_dir))
+
+
+@_q(
+    "conv_pair_jaccard",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    h AS (SELECT DISTINCT conv_id, md5(text) AS h FROM t),
+    sz AS (SELECT conv_id, CAST(COUNT(*) AS INT) AS sz FROM h GROUP BY conv_id),
+    rare AS (SELECT h.conv_id, h.h FROM h
+             JOIN (SELECT h, COUNT(DISTINCT conv_id) AS df FROM h
+                   GROUP BY h HAVING COUNT(DISTINCT conv_id) <= 50) d
+               USING (h)),
+    p AS (SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                 CAST(COUNT(*) AS INT) AS shared
+          FROM rare a JOIN rare b ON a.h = b.h AND a.conv_id < b.conv_id
+          GROUP BY a.conv_id, b.conv_id)
+    SELECT conv_a, conv_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+           ROUND(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard
+    FROM p
+    JOIN sz sa ON sa.conv_id = conv_a
+    JOIN sz sb ON sb.conv_id = conv_b
+    WHERE ROUND(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) >= 0.1
+    """,
+)
+def conv_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.agentic import conversation_pair_jaccard
+
+    return conversation_pair_jaccard(
+        transcripts_view(spark, sf_dir), threshold=0.1, max_df=50
+    )
+
+
+# --- information-theoretic doc quality: unigram Shannon entropy + type-
+# token ratio per document. Low entropy (mass concentrated on few types)
+# catches repetitive/generated docs that length/stopword heuristics pass;
+# the explode -> (doc_id, tok) count -> doc agg shape is two hash
+# shuffles on bounded keys, JVM-side throughout.
+@_q(
+    "doc_unigram_entropy",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM e GROUP BY doc_id, tok),
+    c2 AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM c)
+    SELECT doc_id,
+           CAST(MAX(n) AS INT) AS n_toks,
+           CAST(COUNT(*) AS INT) AS n_distinct,
+           ROUND(COUNT(*) / CAST(MAX(n) AS DOUBLE), 6) AS ttr,
+           ROUND(-SUM((c / CAST(n AS DOUBLE))
+                      * log2(c / CAST(n AS DOUBLE))), 6) AS entropy_bits
+    FROM c2 GROUP BY doc_id
+    """,
+)
+def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    c = d.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    c2 = c.withColumn("n", F.sum("c").over(W.partitionBy("doc_id")))
+    p = F.col("c") / F.col("n").cast("double")
+    return c2.groupBy("doc_id").agg(
+        F.max("n").cast("int").alias("n_toks"),
+        F.count("*").cast("int").alias("n_distinct"),
+        F.round(F.count("*") / F.max("n").cast("double"), 6).alias("ttr"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+    )
+
+
+# --- corpus-mix concentration: per-language Herfindahl-Hirschman index
+# over sources. A training-mix report: hhi -> 1 means one source owns the
+# language slice (contamination/monoculture risk); top_share names how
+# bad. Two tiny aggs, output rows = |langs|.
+@_q(
+    "source_mix_hhi",
+    """
+    WITH s AS (SELECT lang, source, COUNT(*) AS n
+               FROM documents GROUP BY lang, source),
+    l AS (SELECT lang, SUM(n) AS tot FROM s GROUP BY lang)
+    SELECT s.lang,
+           CAST(COUNT(*) AS INT) AS n_sources,
+           CAST(MAX(l.tot) AS INT) AS n_docs,
+           ROUND(SUM(POWER(s.n / CAST(l.tot AS DOUBLE), 2)), 6) AS hhi,
+           ROUND(MAX(s.n) / CAST(MAX(l.tot) AS DOUBLE), 6) AS top_share
+    FROM s JOIN l ON s.lang = l.lang
+    GROUP BY s.lang
+    """,
+)
+def source_mix_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _tbl(spark, sf_dir, "documents")
+    s = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    s = s.withColumn("tot", F.sum("n").over(W.partitionBy("lang")))
+    return s.groupBy("lang").agg(
+        F.count("*").cast("int").alias("n_sources"),
+        F.max("tot").cast("int").alias("n_docs"),
+        F.round(F.sum(F.pow(F.col("n") / F.col("tot").cast("double"), 2)), 6).alias(
+            "hhi"
+        ),
+        F.round(F.max("n") / F.max("tot").cast("double"), 6).alias("top_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

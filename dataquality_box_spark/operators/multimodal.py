@@ -40,12 +40,18 @@ Codec status (what is REAL vs still FAKE):
     JPEG codec. ``frame_indices`` seeks through idx1, so sampling k
     frames from an N-frame stream decodes k JPEGs, not N. Non-MJPEG
     handlers raise NotImplementedError naming the handler.
-  * ``video/mp4`` — STILL FAKE (the one remaining seam): an ISO-BMFF
-    H.264 bitstream genuinely needs PyAV/ffmpeg, absent in this
-    container. Behind ``DQX_FAKE_DECODE=1`` (default in tests) a
-    deterministic fake derives features from payload bytes; without it
-    the operator raises NotImplementedError naming the missing
-    dependency.
+  * ``video/mp4`` — CONTAINER REAL, bitstream conditional: a pure-
+    stdlib ISO-BMFF box walk (32/64-bit sizes, moov-first and moov-last
+    layouts) parses the full sample table (stsd/stts/stsc/stsz/stco,
+    optional co64/stss) into per-sample (offset, size) seeks. Motion-
+    JPEG sample entries (fourcc ``jpeg``) decode FULLY through the
+    in-repo baseline JPEG codec — ``frame_indices`` sampling decodes
+    O(sampled) frames, same contract as AVI. Only an avc1/H.264
+    bitstream remains the declared seam (entropy decode genuinely needs
+    PyAV/ffmpeg): behind ``DQX_FAKE_DECODE=1`` the three pixel
+    statistics are deterministic hash stand-ins (dims/fps/frame-count/
+    duration stay REAL, straight from the sample table); without the
+    flag it raises NotImplementedError naming the missing dependency.
 
 Swapping a real codec in changes only the inner per-mime function — the
 Spark plan, schema and Arrow batching are identical across all three
@@ -993,8 +999,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
 # ------------------------------------------------------------------ AVI
 # REAL video: Motion-JPEG inside a RIFF/AVI container — pure stdlib
 # struct parsing over the container plus the in-repo baseline JPEG codec
-# per frame. This narrows the fake-decode seam to video/mp4 alone (an
-# ISO-BMFF H.264 bitstream genuinely needs PyAV/ffmpeg; MJPEG does not).
+# per frame. Together with the MP4 section below this narrows the
+# fake-decode seam to the avc1/H.264 bitstream alone (which genuinely
+# needs PyAV/ffmpeg; MJPEG does not — in either container).
 # Reference analog of external media enrichment:
 # plugins/dq_lib/ground_truth_utils.py:50-190.
 
@@ -1260,13 +1267,392 @@ def _decode_avi(payload: bytes) -> np.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF: REAL container codec. ``encode_mp4_bytes`` writes a
+# spec-shaped ISO Base Media file (ftyp + mdat + moov with a full sample
+# table: stsd/stts/stsc/stsz/stco) whose single video track carries
+# either real baseline-JPEG samples (sample-entry fourcc ``jpeg`` —
+# Motion-JPEG in MP4, the QuickTime/ISO registered form) or an opaque
+# ``avc1`` stream standing in for H.264. The parser walks boxes (32- and
+# 64-bit sizes, moov-first or moov-last layouts), expands the
+# stsc/stco/stsz chunk map to per-sample (offset, size), and
+# ``decode_mp4_frames`` seeks straight to requested frames — O(sampled),
+# not O(stream), the same scale property as the AVI idx1 path. Only the
+# avc1 BITSTREAM remains behind the declared fake/NotImplementedError
+# seam (H.264 entropy decode genuinely needs PyAV/ffmpeg); container
+# metadata — dims, fps, sample count, duration — always parses for real.
+# (Reference analog: plugins/dq_lib/ground_truth_utils.py:50-190 treats
+# media enrichment as an external service; here the container plumbing
+# is in-engine and only the H.264 entropy decode is the external seam.)
+
+_MP4_JPEG_CODECS = (b"jpeg", b"mjpa", b"MJPG")
+_MP4_TOP_BOXES = frozenset(
+    [b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip", b"wide",
+     b"moof", b"mfra", b"meta", b"uuid", b"pdin", b"sidx"]
+)
+
+
+def _mp4_box(fourcc: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _mp4_full(fourcc: bytes, version: int, flags: int, body: bytes) -> bytes:
+    import struct
+
+    return _mp4_box(fourcc, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def _mp4_container(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    fps: int,
+    codec: bytes,
+    moov_first: bool = False,
+) -> bytes:
+    """Assemble a one-track ISO-BMFF video file around ``samples``.
+
+    One chunk holding every sample (stsc is a single run), per-sample
+    stsz, constant frame duration (stts is a single run), media
+    timescale fps*1000 so integer fps round-trips exactly. ``moov_first``
+    emits the progressive-download layout (moov before mdat) — the stco
+    offset shifts by the moov length, which is offset-value-independent
+    (stco entries are fixed 4-byte fields), so one rebuild suffices."""
+    import struct
+
+    if not samples:
+        raise ValueError("empty sample list")
+    n = len(samples)
+    ts, delta = fps * 1000, 1000
+    mvhd_ts = 1000
+    mvhd_dur = n * mvhd_ts // fps
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    mdat = _mp4_box(b"mdat", b"".join(samples))
+
+    def moov_bytes(chunk_off: int) -> bytes:
+        mvhd = _mp4_full(
+            b"mvhd", 0, 0,
+            struct.pack(">4I", 0, 0, mvhd_ts, mvhd_dur)
+            + struct.pack(">ih", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+            + b"\x00" * 10 + matrix + b"\x00" * 24
+            + struct.pack(">I", 2),  # next_track_ID
+        )
+        tkhd = _mp4_full(
+            b"tkhd", 0, 7,  # enabled | in-movie | in-preview
+            struct.pack(">3I", 0, 0, 1) + b"\x00" * 4
+            + struct.pack(">I", mvhd_dur) + b"\x00" * 8
+            + struct.pack(">4h", 0, 0, 0, 0) + matrix
+            + struct.pack(">2I", width << 16, height << 16),
+        )
+        mdhd = _mp4_full(
+            b"mdhd", 0, 0,
+            struct.pack(">4I", 0, 0, ts, n * delta)
+            + struct.pack(">2H", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _mp4_full(
+            b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+        )
+        vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">4H", 0, 0, 0, 0))
+        dinf = _mp4_box(
+            b"dinf",
+            _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")),
+        )
+        entry = (
+            b"\x00" * 6 + struct.pack(">H", 1)  # data_reference_index
+            + b"\x00" * 16  # pre_defined/reserved
+            + struct.pack(">2H", width, height)
+            + struct.pack(">2I", 0x00480000, 0x00480000)  # 72 dpi
+            + b"\x00" * 4 + struct.pack(">H", 1)  # frame_count
+            + b"\x00" * 32  # compressorname (pascal, empty)
+            + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+        )
+        stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(codec, entry))
+        stts = _mp4_full(b"stts", 0, 0, struct.pack(">3I", 1, n, delta))
+        stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">4I", 1, 1, n, 1))
+        stsz = _mp4_full(
+            b"stsz", 0, 0,
+            struct.pack(">2I", 0, n)
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+        stco = _mp4_full(b"stco", 0, 0, struct.pack(">2I", 1, chunk_off))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + _mp4_box(b"minf", vmhd + dinf + stbl))
+        return _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
+
+    if moov_first:
+        moov = moov_bytes(0)
+        moov = moov_bytes(len(ftyp) + len(moov) + 8)
+        return ftyp + moov + mdat
+    return ftyp + mdat + moov_bytes(len(ftyp) + 8)
+
+
+def encode_mp4_bytes(
+    frames: list[np.ndarray],
+    fps: int = 10,
+    quality: int = 90,
+    moov_first: bool = False,
+) -> bytes:
+    """REAL Motion-JPEG-in-MP4 encoder: each frame is a full baseline
+    JFIF stream (``encode_jpeg_bytes``) as one sample; the stsz/stco
+    sample table gives a decoder O(1) seek to any frame."""
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg_bytes(f, quality=quality) for f in frames]
+    return _mp4_container(jpegs, w, h, fps, b"jpeg", moov_first=moov_first)
+
+
+def synth_mp4_bytes(
+    width: int = 16,
+    height: int = 12,
+    n_frames: int = 4,
+    fps: int = 10,
+    seed: int = 0,
+    quality: int = 90,
+    moov_first: bool = False,
+) -> bytes:
+    """REAL MJPEG-in-MP4 bytes over the same seeded drifting frames as
+    ``synth_avi_bytes`` — byte-identical JPEG samples, so an AVI and an
+    MP4 of the same (geometry, seed, quality) decode to identical
+    pixels (property-tested)."""
+    return encode_mp4_bytes(
+        [_avi_frame_rgb(width, height, seed, t) for t in range(n_frames)],
+        fps=fps,
+        quality=quality,
+        moov_first=moov_first,
+    )
+
+
+def synth_mp4_avc1_bytes(
+    width: int = 16, height: int = 12, n_frames: int = 4, fps: int = 10, seed: int = 0
+) -> bytes:
+    """MP4 with a REAL sample table but opaque ``avc1`` samples
+    (deterministic pseudo-bitstream): exercises the declared H.264 seam
+    end-to-end — dims/fps/frame-count/duration parse for real, only the
+    pixel decode is faked (or raises without DQX_FAKE_DECODE)."""
+    rng = np.random.default_rng(seed)
+    samples = [
+        rng.integers(0, 256, int(rng.integers(200, 800)))
+        .astype(np.uint8)
+        .tobytes()
+        for _ in range(n_frames)
+    ]
+    return _mp4_container(samples, width, height, fps, b"avc1")
+
+
+def _mp4_children(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, box_end) for each box in [start, end);
+    handles 64-bit largesize (size==1) and to-EOF (size==0) forms."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        fourcc = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"corrupt mp4 box size {size} at offset {pos}")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_video_track(payload: bytes) -> dict:
+    """Parse moov for the first ``vide`` track and expand its chunk map.
+
+    Returns codec fourcc, width/height (from the sample entry), fps and
+    duration (from stts + the mdhd timescale), per-sample (offset, size)
+    pairs in presentation order, and the 1-based sync-sample list (None
+    = every sample is sync, the ISO default when stss is absent)."""
+    import struct
+
+    if len(payload) < 16 or payload[4:8] not in _MP4_TOP_BOXES:
+        raise ValueError("not an ISO-BMFF/MP4 payload")
+    moov = next(
+        ((b0, b1) for fc, b0, b1 in _mp4_children(payload, 0, len(payload))
+         if fc == b"moov"),
+        None,
+    )
+    if moov is None:
+        raise ValueError("mp4 payload has no moov box")
+
+    def children(span) -> dict[bytes, tuple[int, int]]:
+        return {fc: (b0, b1) for fc, b0, b1 in _mp4_children(payload, *span)}
+
+    for fc, t0, t1 in _mp4_children(payload, *moov):
+        if fc != b"trak":
+            continue
+        mdia = children((t0, t1)).get(b"mdia")
+        if mdia is None:
+            continue
+        md = children(mdia)
+        hdlr = md.get(b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mb0, _ = md[b"mdhd"]
+        if payload[mb0] == 1:  # version 1: 64-bit creation/modification
+            timescale = struct.unpack_from(">I", payload, mb0 + 20)[0]
+        else:
+            timescale = struct.unpack_from(">I", payload, mb0 + 12)[0]
+        stbl = children(children(md[b"minf"])[b"stbl"])
+
+        sb0, _ = stbl[b"stsd"]
+        codec = payload[sb0 + 12 : sb0 + 16]
+        ent = sb0 + 16  # first sample entry body (after size+fourcc)
+        width, height = struct.unpack_from(">2H", payload, ent + 24)
+
+        tb0, tb1 = stbl[b"stts"]
+        n_runs = struct.unpack_from(">I", payload, tb0 + 4)[0]
+        runs = struct.unpack_from(f">{2 * n_runs}I", payload, tb0 + 8)
+        total_ticks = sum(runs[i] * runs[i + 1] for i in range(0, len(runs), 2))
+        fps = timescale / runs[1] if n_runs and runs[1] else 0.0
+
+        zb0, _ = stbl[b"stsz"]
+        fixed, n_samples = struct.unpack_from(">2I", payload, zb0 + 4)
+        if fixed:
+            sizes = [fixed] * n_samples
+        else:
+            sizes = list(struct.unpack_from(f">{n_samples}I", payload, zb0 + 12))
+
+        if b"stco" in stbl:
+            cb0, _ = stbl[b"stco"]
+            n_chunks = struct.unpack_from(">I", payload, cb0 + 4)[0]
+            offsets = struct.unpack_from(f">{n_chunks}I", payload, cb0 + 8)
+        else:
+            cb0, _ = stbl[b"co64"]
+            n_chunks = struct.unpack_from(">I", payload, cb0 + 4)[0]
+            offsets = struct.unpack_from(f">{n_chunks}Q", payload, cb0 + 8)
+
+        kb0, _ = stbl[b"stsc"]
+        n_sc = struct.unpack_from(">I", payload, kb0 + 4)[0]
+        sc = [
+            struct.unpack_from(">3I", payload, kb0 + 8 + 12 * i)
+            for i in range(n_sc)
+        ]  # (first_chunk, samples_per_chunk, sample_description_index)
+
+        samples: list[tuple[int, int]] = []
+        si, run = 0, 0
+        for ci in range(1, n_chunks + 1):
+            while run + 1 < len(sc) and sc[run + 1][0] <= ci:
+                run += 1
+            off = offsets[ci - 1]
+            for _ in range(sc[run][1] if sc else 0):
+                if si >= len(sizes):
+                    break
+                samples.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+        if si != len(sizes):
+            raise ValueError(
+                f"mp4 chunk map covers {si} samples but stsz declares {len(sizes)}"
+            )
+
+        sync = None
+        if b"stss" in stbl:
+            yb0, _ = stbl[b"stss"]
+            n_sync = struct.unpack_from(">I", payload, yb0 + 4)[0]
+            sync = list(struct.unpack_from(f">{n_sync}I", payload, yb0 + 8))
+
+        return {
+            "codec": codec,
+            "width": width,
+            "height": height,
+            "fps": fps,
+            "duration_s": total_ticks / timescale if timescale else 0.0,
+            "samples": samples,
+            "sync": sync,
+        }
+    raise ValueError("mp4 moov has no video track")
+
+
+def decode_mp4_frames(
+    payload: bytes, frame_indices: list[int] | None = None
+) -> np.ndarray:
+    """Decode MJPEG-in-MP4 frames to an (n, h, w, 3) uint8 stack.
+
+    ``frame_indices`` seeks through the stsz/stco sample table WITHOUT
+    touching other samples — sampling k frames from an N-frame stream
+    decodes k JPEGs, not N (``frame_sample_plan`` rows feed exactly this
+    path, same contract as ``decode_avi_frames``). Non-MJPEG sample
+    entries (avc1 et al.) raise NotImplementedError naming the codec."""
+    track = _mp4_video_track(payload)
+    if track["codec"] not in _MP4_JPEG_CODECS:
+        raise NotImplementedError(
+            f"mp4 codec {track['codec']!r} bitstream decode requires PyAV "
+            "(not in container); only Motion-JPEG ('jpeg') samples decode "
+            "in-engine"
+        )
+    entries = track["samples"]
+    if frame_indices is not None:
+        missing = [i for i in frame_indices if i < 0 or i >= len(entries)]
+        if missing:
+            raise IndexError(
+                f"frame indices {missing} out of range (stream has "
+                f"{len(entries)} frames)"
+            )
+        entries = [entries[i] for i in frame_indices]
+    frames = [decode_jpeg_pixels(payload[at : at + ln]) for at, ln in entries]
+    if not frames:
+        raise ValueError("mp4 decoded zero frames")
+    return np.stack(frames)
+
+
+def _decode_mp4(payload: bytes) -> np.ndarray:
+    """mp4 feature extraction: the CONTAINER always parses for real
+    (sample table, dims, fps, duration); Motion-JPEG sample streams
+    decode fully (same 8-dim feature as AVI, O(3 frames) sampled);
+    only an avc1/H.264 bitstream goes through the declared seam —
+    deterministic hash stand-ins for the three pixel statistics under
+    DQX_FAKE_DECODE, NotImplementedError naming PyAV without it."""
+    track = _mp4_video_track(payload)
+    n = len(track["samples"])
+    fps = track["fps"]
+    meta = [
+        n / 4096.0,
+        track["width"] / 4096.0,
+        track["height"] / 4096.0,
+        fps / 120.0,
+    ]
+    if track["codec"] in _MP4_JPEG_CODECS:
+        sample = sorted({0, n // 2, n - 1})
+        stack = decode_mp4_frames(payload, frame_indices=sample).astype(np.float32)
+        gray = stack.mean(axis=3)
+        inter = (
+            float(np.abs(np.diff(gray, axis=0)).mean()) / 255.0
+            if len(sample) > 1
+            else 0.0
+        )
+        pix = [float(gray.mean()) / 255.0, float(gray.std()) / 255.0, inter]
+    elif _FAKE:
+        digest = hashlib.sha1(payload).digest()
+        pix = [digest[0] / 255.0, digest[1] / 255.0, digest[2] / 255.0]
+    else:
+        raise NotImplementedError(
+            f"mp4 codec {track['codec']!r} bitstream decode requires PyAV "
+            "(not in container)"
+        )
+    return np.array(meta + pix + [track["duration_s"]], dtype=np.float32)
+
+
 def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic synthetic media table. Audio payloads are REAL WAV
     bytes; image payloads cycle REAL BMP, PNG, GIF and JPEG bytes (all
     decodable in-container — the PNGs cover every scanline filter type,
     the GIFs a genuinely LZW-compressed index stream, the JPEGs a
     quality spread of real baseline Huffman/DCT streams); video payloads
-    are seeded pseudo-bytes behind the fake-decode seam."""
+    cycle REAL MJPEG-in-AVI, REAL MJPEG-in-MP4 (both moov layouts) and
+    avc1-coded MP4 whose container parses for real while its bitstream
+    rides the declared H.264 seam."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[rng.integers(0, 3, n)]
     widths = rng.integers(4, 32, n)
@@ -1309,7 +1695,7 @@ def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
                         quality=(50, 75, 90, 100)[(i // 4) % 4],
                     )
                 )
-        elif i % 2 == 0:
+        elif i % 3 == 0:
             mime_col.append("video/avi")
             payloads.append(
                 synth_avi_bytes(
@@ -1318,15 +1704,34 @@ def gen_media(n: int, seed: int = 42) -> pd.DataFrame:
                     n_frames=max(1, int(durations[i]) // 100),
                     fps=10,
                     seed=i,
-                    quality=(75, 90)[(i // 2) % 2],
+                    quality=(75, 90)[(i // 3) % 2],
+                )
+            )
+        elif i % 3 == 1:
+            mime_col.append("video/mp4")
+            payloads.append(
+                synth_mp4_bytes(
+                    int(widths[i]),
+                    int(heights[i]),
+                    n_frames=max(1, int(durations[i]) // 100),
+                    fps=10,
+                    seed=i,
+                    quality=(75, 90)[(i // 3) % 2],
+                    moov_first=i % 6 == 1,  # cover both box layouts
                 )
             )
         else:
+            # avc1-coded mp4: REAL container (sample table parses), the
+            # bitstream rides the declared H.264 fake/NIE seam
             mime_col.append("video/mp4")
             payloads.append(
-                rng.integers(0, 256, int(rng.integers(256, 4096)))
-                .astype(np.uint8)
-                .tobytes()
+                synth_mp4_avc1_bytes(
+                    int(widths[i]),
+                    int(heights[i]),
+                    n_frames=max(1, int(durations[i]) // 100),
+                    fps=10,
+                    seed=i,
+                )
             )
     return pd.DataFrame(
         {
@@ -1414,25 +1819,11 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return _color_features(rgb)
 
 
-def _decode_fake(payload: bytes) -> np.ndarray:
-    """STUB for the single still-fake mime (video/mp4): real frame
-    extraction needs PyAV, absent in this container.
-
-    The deterministic fake derives an 8-dim feature from payload bytes so
-    tests exercise the full Arrow round-trip with stable values.
-    """
-    if not _FAKE:
-        raise NotImplementedError(
-            "video decode requires PyAV (not in container)"
-        )
-    h = hashlib.sha1(payload).digest()
-    return np.frombuffer(h[:8], dtype=np.uint8).astype(np.float32) / 255.0
-
-
 def decode_payload(mime: str, payload: bytes) -> np.ndarray:
-    """Route a payload to its codec: WAV, BMP, PNG, GIF, JPEG and
-    MJPEG-AVI decode for REAL; only video/mp4 goes through the declared
-    fake/NotImplementedError seam."""
+    """Route a payload to its codec: WAV, BMP, PNG, GIF, JPEG, MJPEG-AVI
+    and MJPEG-MP4 decode for REAL (the MP4 container always parses for
+    real); only an avc1/H.264 bitstream inside an MP4 goes through the
+    declared fake/NotImplementedError seam."""
     if mime == "audio/wav":
         return _decode_wav(payload)
     if mime == "image/bmp":
@@ -1445,7 +1836,9 @@ def decode_payload(mime: str, payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     if mime in ("video/avi", "video/x-msvideo"):
         return _decode_avi(payload)
-    return _decode_fake(payload)
+    if mime in ("video/mp4", "video/quicktime"):
+        return _decode_mp4(payload)
+    raise NotImplementedError(f"no in-container codec for mime {mime!r}")
 
 
 def _entropy(payload: bytes) -> float:

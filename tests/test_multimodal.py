@@ -1,4 +1,5 @@
-"""Multimodal plumbing tests (decode stubbed, Spark plumbing real)."""
+"""Multimodal tests: real WAV/BMP/PNG/GIF/JPEG/AVI/MP4 codecs plus the
+declared avc1-bitstream seam, end-to-end through the Spark plumbing."""
 
 from __future__ import annotations
 
@@ -25,7 +26,7 @@ def test_feature_extraction_roundtrip(spark):
     df, pdf = _media_df(spark)
     feats = extract_features(df).toPandas().set_index("media_id").sort_index()
     assert len(feats) == 200
-    # deterministic fake features: recompute one row independently
+    # deterministic features: recompute one row independently
     b = pdf.loc[5, "payload"]
     assert feats.loc[5, "payload_sha1"] == hashlib.sha1(b).hexdigest()
     assert feats.loc[5, "n_bytes"] == len(b)
@@ -124,16 +125,21 @@ def test_bmp_decode_is_real(spark):
 
 
 def test_fake_seam_still_guards_undone_codecs(spark, monkeypatch):
-    """mp4 decode (the one remaining fake) raises NotImplementedError
-    naming the missing dependency without DQX_FAKE_DECODE; WAV/BMP
-    decode REAL regardless of the flag."""
+    """The avc1/H.264 bitstream (the one remaining fake) raises
+    NotImplementedError naming the missing dependency without
+    DQX_FAKE_DECODE — while the SAME payload's container metadata parses
+    for real; WAV/BMP decode REAL regardless of the flag."""
     import pytest
 
     from dataquality_box_spark.operators import multimodal as mm
 
     monkeypatch.setattr(mm, "_FAKE", False)
+    avc1 = mm.synth_mp4_avc1_bytes(8, 6, n_frames=3, fps=10, seed=2)
     with pytest.raises(NotImplementedError, match="PyAV"):
-        mm.decode_payload("video/mp4", b"\x00" * 64)
+        mm.decode_payload("video/mp4", avc1)
+    track = mm._mp4_video_track(avc1)  # container itself is not faked
+    assert (track["width"], track["height"]) == (8, 6)
+    assert len(track["samples"]) == 3
     wav_feat = mm.decode_payload("audio/wav", mm.synth_wav_bytes(ms=50))
     bmp_feat = mm.decode_payload("image/bmp", mm.synth_bmp_bytes(4, 4, seed=1))
     assert len(wav_feat) == 8 and len(bmp_feat) == 8
@@ -357,9 +363,11 @@ def test_avi_guards_non_mjpeg_streams():
         mm.decode_avi_frames(b"\x00" * 64)
 
 
-def test_fake_seam_is_mp4_only_now(spark, monkeypatch):
-    """video/avi decodes REAL regardless of DQX_FAKE_DECODE; only
-    video/mp4 remains behind the declared seam."""
+def test_fake_seam_is_avc1_bitstream_only_now(spark, monkeypatch):
+    """video/avi AND MJPEG video/mp4 decode REAL regardless of
+    DQX_FAKE_DECODE; only the avc1 bitstream remains behind the declared
+    seam, and garbage bytes fail the container parse loudly rather than
+    reaching the seam."""
     import pytest
 
     from dataquality_box_spark.operators import multimodal as mm
@@ -367,7 +375,11 @@ def test_fake_seam_is_mp4_only_now(spark, monkeypatch):
     monkeypatch.setattr(mm, "_FAKE", False)
     feat = mm.decode_payload("video/avi", mm.synth_avi_bytes(8, 8, n_frames=2))
     assert len(feat) == 8
+    feat = mm.decode_payload("video/mp4", mm.synth_mp4_bytes(8, 8, n_frames=2))
+    assert len(feat) == 8
     with pytest.raises(NotImplementedError, match="PyAV"):
+        mm.decode_payload("video/mp4", mm.synth_mp4_avc1_bytes(8, 8, n_frames=2))
+    with pytest.raises(ValueError, match="ISO-BMFF"):
         mm.decode_payload("video/mp4", b"\x00" * 64)
 
 
@@ -405,3 +417,163 @@ def test_gen_media_includes_real_jpeg(spark):
         assert px.shape[2] == 3
         f = mm.decode_payload("image/jpeg", r["payload"])
         assert len(f) == 8 and np.all(np.isfinite(f))
+
+
+def test_mp4_mjpeg_decode_is_real(spark):
+    """Real MJPEG-in-MP4 decode end-to-end through mapInPandas: the
+    8-dim feature carries the true frame count, geometry, fps and
+    duration straight from the parsed sample table, with pixel stats in
+    JPEG-lossy tolerance of the source fields."""
+    import numpy as np
+    import pandas as pd
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    w, h, n_frames, fps = 20, 16, 5, 10
+    payload = mm.synth_mp4_bytes(w, h, n_frames=n_frames, fps=fps, seed=9)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0],
+            "conv_id": ["c0"],
+            "kind": ["video"],
+            "mime": ["video/mp4"],
+            "payload": [payload],
+            "width": pd.array([w], dtype="Int32"),
+            "height": pd.array([h], dtype="Int32"),
+            "duration_ms": pd.array([n_frames * 1000 // fps], dtype="Int32"),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    feat = extract_features(df).collect()[0]["feat"]
+    n_n, w_n, h_n, fps_n, mean_gray, _std, inter, dur_s = feat
+    assert abs(n_n - n_frames / 4096) < 1e-6
+    assert (w_n, h_n) == (w / 4096, h / 4096)
+    assert abs(fps_n - fps / 120) < 1e-6
+    assert abs(dur_s - n_frames / fps) < 1e-6
+    src = np.stack(
+        [mm._avi_frame_rgb(w, h, 9, t) for t in (0, n_frames // 2, n_frames - 1)]
+    ).astype(np.float64)
+    assert abs(mean_gray - src.mean(axis=3).mean() / 255.0) < 0.02
+    assert inter > 0.0
+
+
+def test_mp4_avi_same_frames_same_pixels():
+    """An MP4 and an AVI of identical (geometry, seed, quality, fps)
+    carry byte-identical JPEG samples, so both containers decode to
+    IDENTICAL pixel stacks — the container layer adds nothing lossy."""
+    import numpy as np
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    for seed, q in ((3, 90), (11, 75)):
+        a = mm.decode_avi_frames(
+            mm.synth_avi_bytes(16, 12, n_frames=4, fps=10, seed=seed, quality=q)
+        )
+        m = mm.decode_mp4_frames(
+            mm.synth_mp4_bytes(16, 12, n_frames=4, fps=10, seed=seed, quality=q)
+        )
+        assert np.array_equal(a, m)
+
+
+def test_mp4_both_box_layouts_parse():
+    """moov-last (recorder order) and moov-first (progressive-download
+    order) layouts decode identically — the stco offsets differ, the
+    samples do not."""
+    import numpy as np
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    last = mm.synth_mp4_bytes(12, 8, n_frames=3, seed=5)
+    first = mm.synth_mp4_bytes(12, 8, n_frames=3, seed=5, moov_first=True)
+    assert last != first  # genuinely different byte layouts
+    assert np.array_equal(mm.decode_mp4_frames(last), mm.decode_mp4_frames(first))
+
+
+def test_mp4_sampled_frame_decode_uses_sample_table():
+    """decode_mp4_frames with frame_indices seeks through stsz/stco and
+    decodes exactly the selected samples — per-frame pixels match a
+    standalone decode of the same JPEG bytes; out-of-range raises."""
+    import numpy as np
+    import pytest
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    frames = [mm._avi_frame_rgb(12, 8, 4, t) for t in range(6)]
+    payload = mm.encode_mp4_bytes(frames, fps=10, quality=90)
+    picked = mm.decode_mp4_frames(payload, frame_indices=[1, 4])
+    assert picked.shape == (2, 8, 12, 3)
+    for got, t in zip(picked, (1, 4)):
+        ref = mm.decode_jpeg_pixels(mm.encode_jpeg_bytes(frames[t], quality=90))
+        assert np.array_equal(got, ref)
+    with pytest.raises(IndexError, match="out of range"):
+        mm.decode_mp4_frames(payload, frame_indices=[6])
+
+
+def test_mp4_guards_non_mjpeg_codecs_and_garbage():
+    """avc1 sample entries raise NotImplementedError naming PyAV from
+    the frame decoder (metadata still parses); corrupt boxes and
+    non-BMFF bytes raise ValueError before any decode is attempted."""
+    import pytest
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    avc1 = mm.synth_mp4_avc1_bytes(8, 8, n_frames=2)
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        mm.decode_mp4_frames(avc1)
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        mm._mp4_video_track(b"\x01\x02\x03\x04" * 16)
+    # valid ftyp followed by a box whose declared size overruns the file
+    bad = mm._mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isom") + b"\x00\x00\xff\xffmoov"
+    with pytest.raises(ValueError, match="corrupt mp4 box"):
+        mm._mp4_video_track(bad)
+    # structurally fine but no moov
+    nomoov = mm._mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    with pytest.raises(ValueError, match="no moov"):
+        mm._mp4_video_track(nomoov)
+
+
+def test_mp4_geometry_property_fuzz():
+    """Property sweep across geometries/frame-counts/quality/fps/layout:
+    the parsed sample table always round-trips frame count, dims, fps
+    and duration exactly, and every frame decodes to the declared
+    geometry."""
+    from dataquality_box_spark.operators import multimodal as mm
+
+    for i, (w, h, n, fps, q) in enumerate(
+        [(8, 8, 1, 5, 50), (17, 9, 3, 12, 75), (24, 10, 7, 30, 90), (9, 23, 2, 24, 100)]
+    ):
+        p = mm.synth_mp4_bytes(w, h, n_frames=n, fps=fps, seed=i, quality=q,
+                               moov_first=i % 2 == 0)
+        tr = mm._mp4_video_track(p)
+        assert (tr["width"], tr["height"]) == (w, h)
+        assert len(tr["samples"]) == n
+        assert abs(tr["fps"] - fps) < 1e-9
+        assert abs(tr["duration_s"] - n / fps) < 1e-9
+        assert mm.decode_mp4_frames(p).shape == (n, h, w, 3)
+
+
+def test_gen_media_includes_real_mp4(spark):
+    """The synthetic media corpus now cycles real MP4s in: every
+    MJPEG-coded video/mp4 payload decodes fully with a frame count
+    matching the declared duration, and every avc1-coded one still
+    parses its container for real."""
+    import numpy as np
+
+    from dataquality_box_spark.operators import multimodal as mm
+
+    pdf = mm.gen_media(96, seed=42)
+    mp4s = pdf[pdf["mime"] == "video/mp4"]
+    assert len(mp4s) > 0
+    n_mjpeg = n_avc1 = 0
+    for _, r in mp4s.iterrows():
+        tr = mm._mp4_video_track(r["payload"])
+        assert len(tr["samples"]) == max(1, int(r["duration_ms"]) // 100)
+        f = mm.decode_payload("video/mp4", r["payload"])
+        assert len(f) == 8 and np.all(np.isfinite(np.asarray(f)))
+        if tr["codec"] == b"jpeg":
+            n_mjpeg += 1
+            frames = mm.decode_mp4_frames(r["payload"])
+            assert frames.shape[0] == len(tr["samples"])
+        else:
+            n_avc1 += 1
+    assert n_mjpeg > 0 and n_avc1 > 0

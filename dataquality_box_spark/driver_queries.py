@@ -4710,6 +4710,173 @@ def source_mix_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus-shape diagnostics (operators/corpus.py): Heaps vocabulary
+# growth, Zipf head, CCNet-style paragraph(chunk)-dedup stats — the
+# "is this corpus healthy?" reports run before committing training
+# compute. Each is explode -> hash-agg shapes that held sublinear at
+# 10x corpus; scale posture in the operator docstrings.
+@_q(
+    "heaps_vocab_growth",
+    f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+    fo AS (SELECT tok, MIN(doc_id) AS first_doc FROM tk GROUP BY tok),
+    sz AS (SELECT doc_id, len({_TOKENS}) AS n FROM documents),
+    cuts AS (SELECT DISTINCT CAST(ceil(mx * i / 10.0) AS BIGINT) AS cutoff
+             FROM (SELECT MAX(doc_id) AS mx FROM documents),
+                  unnest(generate_series(1, 10)) AS t(i))
+    SELECT cutoff,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM sz WHERE doc_id <= cutoff)
+             AS corpus_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fo WHERE first_doc <= cutoff)
+             AS vocab
+    FROM cuts
+    """,
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import heaps_curve
+
+    return heaps_curve(_tbl(spark, sf_dir, "documents"), points=10)
+
+
+@_q(
+    "zipf_token_head",
+    f"""
+    WITH tk AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+    r AS (SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+          FROM c)
+    SELECT CAST(rnk AS INT) AS rank, tok, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rnk * cnt AS BIGINT) AS zipf_product
+    FROM r WHERE rnk <= 100
+    """,
+)
+def zipf_token_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import zipf_topk
+
+    return zipf_topk(_tbl(spark, sf_dir, "documents"), k=100)
+
+
+@_q(
+    "chunk_dedup_report",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents
+               WHERE len({_TOKENS}) > 0),
+    ch AS (SELECT doc_id,
+                  md5(array_to_string(
+                        list_slice(toks, ci * 16 + 1, (ci + 1) * 16), ' ')) AS h
+           FROM d, unnest(generate_series(
+                  0, CAST(ceil(len(toks) / 16.0) AS INT) - 1)) AS t(ci)),
+    dup AS (SELECT h, CAST(COUNT(DISTINCT doc_id) >= 2 AS INT) AS is_dup
+            FROM ch GROUP BY h)
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+           CAST(SUM(is_dup) AS INT) AS n_dup_chunks,
+           ROUND(SUM(is_dup) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_chunk_frac
+    FROM ch JOIN dup USING (h)
+    GROUP BY doc_id
+    """,
+)
+def chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import chunk_dedup_stats
+
+    return chunk_dedup_stats(_tbl(spark, sf_dir, "documents"), chunk_tokens=16)
+
+
+# --- encoding QA (functions/text.encoding_flag_columns): U+FFFD
+# replacement chars + 'Ã' mojibake lead bytes. The corpus is clean
+# ASCII, so the oracle measures a deterministically PLANTED probe
+# column (residue classes, same pattern as TRANSCRIPTS_SQL's planted
+# PII) — the detector's nonzero path is exercised, the operator stays
+# generic.
+@_q(
+    "encoding_qa_report",
+    """
+    WITH probe AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN replace(text, 'a', 'Ã¡')
+                  WHEN doc_id % 11 = 0 THEN text || ' ' || chr(65533)
+                  ELSE text END AS s
+      FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(length(s) - length(replace(s, chr(65533), '')) AS INT)
+                   AS n_replacement,
+                 CAST(length(s) - length(replace(s, chr(195), '')) AS INT)
+                   AS n_mojibake
+          FROM probe)
+    SELECT doc_id, n_replacement, n_mojibake,
+           CAST(n_replacement + n_mojibake > 0 AS INT) AS encoding_suspect
+    FROM m
+    """,
+)
+def encoding_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import encoding_flag_columns
+
+    d = _tbl(spark, sf_dir, "documents")
+    probe = (
+        F.when(F.col("doc_id") % 7 == 0, F.replace("text", F.lit("a"), F.lit("Ã¡")))
+        .when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" �")))
+        .otherwise(F.col("text"))
+    )
+    flags = encoding_flag_columns(F.col("s"))
+    return d.select("doc_id", probe.alias("s")).select(
+        "doc_id", *(c.alias(n) for n, c in flags.items())
+    )
+
+
+# --- conversation-shape QA over transcripts: role token balance (the
+# "degenerate dialogue" tails) and inter-turn latency profile (the
+# "scripted replay / clock skew" shapes). One conv_id shuffle each.
+@_q(
+    "conv_role_balance",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    p AS (SELECT conv_id, role, len({_TOKENS}) AS n_toks FROM t)
+    SELECT conv_id, CAST(COUNT(*) AS INT) AS n_turns,
+           CAST(SUM(n_toks) AS INT) AS total_toks,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN n_toks ELSE 0 END) AS INT)
+             AS assistant_toks,
+           CAST(SUM(CASE WHEN role = 'user' THEN n_toks ELSE 0 END) AS INT)
+             AS user_toks,
+           ROUND(SUM(CASE WHEN role = 'assistant' THEN n_toks ELSE 0 END)
+                 / CAST(SUM(n_toks) AS DOUBLE), 6) AS assistant_share,
+           CAST(ROUND(SUM(CASE WHEN role = 'assistant' THEN n_toks ELSE 0 END)
+                      / CAST(SUM(n_toks) AS DOUBLE), 6) > 0.9
+                OR ROUND(SUM(CASE WHEN role = 'assistant' THEN n_toks ELSE 0 END)
+                         / CAST(SUM(n_toks) AS DOUBLE), 6) < 0.1 AS INT)
+             AS degenerate
+    FROM p GROUP BY conv_id
+    """,
+)
+def conv_role_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.agentic import role_token_share
+
+    return role_token_share(transcripts_view(spark, sf_dir), lo=0.1, hi=0.9)
+
+
+@_q(
+    "conv_turn_latency",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    g AS (SELECT conv_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx) AS gap
+          FROM t)
+    SELECT conv_id, CAST(COUNT(*) AS INT) AS n_gaps,
+           ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS mean_gap_s,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+           CAST(SUM(CASE WHEN gap >= 0 AND gap < 1000000 THEN 1 ELSE 0 END)
+                AS INT) AS n_bursts,
+           CAST(SUM(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS INT) AS n_negative
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY conv_id
+    """,
+)
+def conv_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.agentic import turn_latency
+
+    return turn_latency(transcripts_view(spark, sf_dir), burst_s=1)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

@@ -118,3 +118,29 @@ def text_flag_columns(
         "boilerplate": is_boilerplate(text),
         "toxicity": has_toxicity(text),
     }
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Exact substring occurrence count via length arithmetic
+    ((len(s) - len(replace(s, needle, ''))) / len(needle)) — plain
+    ``replace``, no regex, so DuckDB and Spark agree bit-exactly on any
+    unicode needle (both engines count code points)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def encoding_flag_columns(text: Column) -> dict[str, Column]:
+    """Encoding-QA signals: U+FFFD replacement characters (a decoder
+    already gave up on those bytes) and the 'Ã' lead byte of classic
+    UTF-8-read-as-Latin-1 mojibake ('é' -> 'Ã©'). Both counted with the
+    exact ``occurrence_count`` idiom; any hit marks the row
+    encoding-suspect for the curation funnel."""
+    n_repl = occurrence_count(text, "�")
+    n_moji = occurrence_count(text, "Ã")
+    return {
+        "n_replacement": n_repl,
+        "n_mojibake": n_moji,
+        "encoding_suspect": ((n_repl + n_moji) > 0).cast("int"),
+    }

@@ -179,3 +179,86 @@ def conversation_pair_jaccard(
         .select("conv_a", "conv_b", "shared", "size_a", "size_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def role_token_share(
+    df: DataFrame, lo: float = 0.1, hi: float = 0.9
+) -> DataFrame:
+    """Per-conversation token share by role — the "degenerate dialogue"
+    shape: a conversation whose assistant produced >hi of all tokens is a
+    monologue (likely a dump or a runaway generation); <lo means the
+    assistant barely spoke (dead weight for dialogue training). Both tails
+    are flagged for the curation funnel.
+
+    Narrow token count per turn, then ONE conv_id hash agg with
+    conditional sums — no window, no second shuffle. Returns one row per
+    conversation: (conv_id, n_turns INT, total_toks INT, assistant_toks
+    INT, user_toks INT, assistant_share DOUBLE round 6, degenerate INT).
+    """
+    n_toks = F.size(
+        F.filter(F.split(F.col("text"), "[ \t\n\r]+"), lambda x: x != "")
+    )
+    per_turn = df.select("conv_id", "role", n_toks.alias("n_toks"))
+    share = F.round(
+        F.sum(F.when(F.col("role") == "assistant", F.col("n_toks")).otherwise(0))
+        / F.sum("n_toks").cast("double"),
+        6,
+    )
+    return (
+        per_turn.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("int").alias("n_turns"),
+            F.sum("n_toks").cast("int").alias("total_toks"),
+            F.sum(F.when(F.col("role") == "assistant", F.col("n_toks")).otherwise(0))
+            .cast("int")
+            .alias("assistant_toks"),
+            F.sum(F.when(F.col("role") == "user", F.col("n_toks")).otherwise(0))
+            .cast("int")
+            .alias("user_toks"),
+            share.alias("assistant_share"),
+        )
+        .withColumn(
+            "degenerate",
+            (
+                (F.col("assistant_share") > hi) | (F.col("assistant_share") < lo)
+            ).cast("int"),
+        )
+    )
+
+
+def turn_latency(df: DataFrame, burst_s: int = 1) -> DataFrame:
+    """Per-conversation inter-turn timing profile from the ts column —
+    the "synthetic/bot traffic" shape: human conversations have spread-out
+    gaps; scripted replays and bulk imports land many turns within the
+    same second (bursts), and clock skew shows as NEGATIVE gaps (ordered
+    by turn_idx but time runs backwards).
+
+    One conv_id window (lag) feeding one conv_id agg that reuses the
+    window's partitioning — a single shuffle at any conversation length.
+    Gaps are MICROSECOND integer diffs (unix_micros / epoch_us) so both
+    engines agree bit-exactly on sub-second timestamps; the mean divides
+    the exact integer sum once. Returns (conv_id, n_gaps INT, mean_gap_s
+    DOUBLE round 6, max_gap_us BIGINT, n_bursts INT, n_negative INT).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        # cast handles TIMESTAMP_NTZ parquet columns; the session tz is
+        # pinned UTC so the NTZ->instant reading matches DuckDB epoch_us
+        df.select(
+            "conv_id", "turn_idx",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ep"),
+        )
+        .withColumn("gap", F.col("ep") - F.lag("ep").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy("conv_id").agg(
+        F.count("*").cast("int").alias("n_gaps"),
+        F.round(F.sum("gap").cast("double") / F.count("*") / 1e6, 6).alias(
+            "mean_gap_s"
+        ),
+        F.max("gap").alias("max_gap_us"),
+        F.sum(
+            ((F.col("gap") >= 0) & (F.col("gap") < burst_s * 1_000_000)).cast("int")
+        ).cast("int").alias("n_bursts"),
+        F.sum((F.col("gap") < 0).cast("int")).cast("int").alias("n_negative"),
+    )

@@ -1,0 +1,149 @@
+"""Corpus-level statistical diagnostics: Heaps' vocabulary-growth curve,
+Zipf head inspection, and CCNet-style chunk (paragraph) deduplication
+statistics.
+
+These are the "is this corpus healthy?" reports a training-data pipeline
+runs before committing compute: a vocabulary curve that flattens too
+early means the corpus is template traffic; a Zipf head whose products
+collapse means a handful of tokens dominate; a high duplicated-chunk
+fraction means paragraph-level boilerplate survived document-level dedup
+(the gap CCNet's sharded paragraph dedup closes — Wenzek et al. 2020).
+
+Every operator is plain DataFrame ops with an exact DuckDB twin in
+driver_queries.py. Scale posture is documented per function.
+
+Reference analog: the reference's scope ends at per-record validation
+(plugins/services/data_quality_runner.py); these corpus-shape reports
+are the brief's LLM-curation extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def heaps_curve(docs: DataFrame, points: int = 10) -> DataFrame:
+    """Vocabulary size vs corpus size at ``points`` doc_id-ordered
+    cutoffs (Heaps' law: V ~ k*N^beta; a curve that flattens early
+    signals a vocabulary-starved / templated corpus).
+
+    Each token's contribution to the curve is its FIRST document
+    (min doc_id), so vocab(cutoff) = |{tok : first_doc <= cutoff}| —
+    one explode + one tok-keyed agg, then a 10-row broadcast cross join
+    and a 10-key agg with map-side partials. No per-cutoff corpus
+    rescans: the corpus is read once however many points are asked for.
+
+    Returns (cutoff BIGINT, corpus_tokens BIGINT, vocab BIGINT) —
+    both measures cumulative at each cutoff.
+    """
+    tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    first = tk.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    sizes = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+    cuts = (
+        docs.agg(F.max("doc_id").alias("mx"))
+        .select(F.explode(F.sequence(F.lit(1), F.lit(points))).alias("i"), "mx")
+        .select(
+            F.ceil(F.col("mx") * F.col("i") / float(points)).cast("long").alias("cutoff")
+        )
+        # small corpora can collide cutoffs (ceil of adjacent i equal);
+        # a duplicated cutoff row would double-count through the cross
+        # join below
+        .distinct()
+    )
+    vocab = (
+        first.crossJoin(F.broadcast(cuts))
+        .where(F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.count("*").alias("vocab"))
+    )
+    corpus = (
+        sizes.crossJoin(F.broadcast(cuts))
+        .where(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.sum("n").alias("corpus_tokens"))
+    )
+    return corpus.join(vocab, "cutoff").select("cutoff", "corpus_tokens", "vocab")
+
+
+def zipf_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Zipf head report: the ``k`` most frequent tokens with their rank
+    and the rank*count product (flat products across the head = the
+    corpus obeys Zipf; a collapsing product = token-concentration
+    pathology, e.g. boilerplate or repetition artifacts).
+
+    The global top-k goes through orderBy(...).limit(k), which Catalyst
+    executes as TakeOrderedAndProject (per-partition heaps + one k-row
+    merge — no global sort materializes at any scale); the rank window
+    then runs over k rows only. Ties break on the token string so both
+    engines produce the identical head.
+
+    Returns (rank INT, tok, cnt BIGINT, zipf_product BIGINT).
+    """
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    head = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return head.select(
+        F.row_number().over(w).cast("int").alias("rank"), "tok", "cnt"
+    ).withColumn("zipf_product", (F.col("rank") * F.col("cnt")).cast("long"))
+
+
+def chunk_dedup_stats(docs: DataFrame, chunk_tokens: int = 16) -> DataFrame:
+    """CCNet-style paragraph-level dedup statistics over NON-overlapping
+    ``chunk_tokens``-token chunks (the complement of the OVERLAPPING
+    rolling windows in duplicated_span_stats: spans measure how much text
+    is shared; chunks measure what a paragraph-dedup pass would remove).
+
+    Each doc explodes into ceil(n/chunk) chunks; chunk identity is the
+    md5 of its joined tokens, so shuffles carry 16-byte keys, not text.
+    A chunk is duplicated when it occurs in >= 2 DISTINCT docs. Shape:
+    one explode + one hash-keyed agg + one doc_id agg — the
+    shared-hash-fraction idiom that held sublinear at 10x corpus.
+
+    Returns per doc: (doc_id, n_chunks INT, n_dup_chunks INT,
+    dup_chunk_frac DOUBLE round 6).
+    """
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size("toks") / float(chunk_tokens)).cast("int")
+    chunks = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("toks"), F.col("ci") * chunk_tokens + 1, chunk_tokens
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    dup = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .select("h", (F.col("ndocs") >= 2).cast("int").alias("is_dup"))
+    )
+    return (
+        chunks.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum("is_dup").cast("int").alias("n_dup_chunks"),
+            F.round(F.sum("is_dup") / F.count("*").cast("double"), 6).alias(
+                "dup_chunk_frac"
+            ),
+        )
+    )

@@ -143,3 +143,71 @@ def test_tool_loops_plan_single_exchange(spark):
     df = _conv(spark, [("c1", 0, "user", "q", None), ("c1", 1, "tool", "r", "t")])
     plan = tool_loops(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_role_token_share_flags_both_tails(spark):
+    from dataquality_box_spark.operators.agentic import role_token_share
+
+    df = _conv(
+        spark,
+        [
+            # c1: assistant monologue — 19 of 20 tokens
+            ("c1", 0, "user", "hi", None),
+            ("c1", 1, "assistant", " ".join(["w"] * 19), None),
+            # c2: balanced — 5 of 10
+            ("c2", 0, "user", "a b c d e", None),
+            ("c2", 1, "assistant", "f g h i j", None),
+            # c3: assistant silent — 0 of 4
+            ("c3", 0, "user", "a b", None),
+            ("c3", 1, "tool", "x y", "tool_0"),
+        ],
+    )
+    out = {
+        r["conv_id"]: r for r in role_token_share(df, lo=0.1, hi=0.9).collect()
+    }
+    assert out["c1"]["assistant_share"] == 0.95 and out["c1"]["degenerate"] == 1
+    assert out["c2"]["assistant_share"] == 0.5 and out["c2"]["degenerate"] == 0
+    assert out["c3"]["assistant_share"] == 0.0 and out["c3"]["degenerate"] == 1
+    assert out["c1"]["total_toks"] == 20 and out["c1"]["assistant_toks"] == 19
+    assert out["c3"]["user_toks"] == 2
+
+
+def test_turn_latency_bursts_and_negative_gaps(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from dataquality_box_spark.operators.agentic import turn_latency
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(seconds):
+        return t0 + dt.timedelta(seconds=seconds)
+
+    pdf = pd.DataFrame(
+        [
+            # c1: gaps of 10s, 0.5s (burst), 0.2s (burst)
+            ("c1", 0, ts(0.0)),
+            ("c1", 1, ts(10.0)),
+            ("c1", 2, ts(10.5)),
+            ("c1", 3, ts(10.7)),
+            # c2: clock runs backwards on turn 2 (negative gap)
+            ("c2", 0, ts(5.0)),
+            ("c2", 1, ts(8.0)),
+            ("c2", 2, ts(7.0)),
+        ],
+        columns=["conv_id", "turn_idx", "ts"],
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    out = {
+        r["conv_id"]: r
+        for r in turn_latency(spark.createDataFrame(pdf), burst_s=1).collect()
+    }
+    c1 = out["c1"]
+    assert c1["n_gaps"] == 3 and c1["n_bursts"] == 2 and c1["n_negative"] == 0
+    assert c1["max_gap_us"] == 10_000_000
+    assert abs(c1["mean_gap_s"] - (10.0 + 0.5 + 0.2) / 3) < 1e-6
+    c2 = out["c2"]
+    assert c2["n_gaps"] == 2 and c2["n_negative"] == 1 and c2["n_bursts"] == 0
+    assert c2["max_gap_us"] == 3_000_000

@@ -4877,6 +4877,48 @@ def conv_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_latency(transcripts_view(spark, sf_dir), burst_s=1)
 
 
+@_q(
+    "ngram_novelty_per_doc",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, md5(g) AS h
+           FROM (SELECT doc_id, unnest({_SHINGLES}) AS g FROM tt) u),
+    fo AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY h)
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS INT)
+             AS n_novel,
+           ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN fo USING (h)
+    GROUP BY doc_id
+    """,
+)
+def ngram_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import ngram_novelty
+
+    return ngram_novelty(_tbl(spark, sf_dir, "documents"), n=3)
+
+
+@_q(
+    "template_prefix_report",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    p AS (SELECT doc_id, array_to_string(list_slice(tk, 1, 8), ' ') AS prefix
+          FROM tt WHERE len(tk) >= 8)
+    SELECT md5(prefix) AS prefix_hash, CAST(COUNT(*) AS INT) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MIN(prefix) AS sample_prefix
+    FROM p GROUP BY md5(prefix)
+    HAVING COUNT(*) >= 2
+    """,
+)
+def template_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import template_prefix_groups
+
+    return template_prefix_groups(
+        _tbl(spark, sf_dir, "documents"), prefix_tokens=8, min_group=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

@@ -147,3 +147,74 @@ def chunk_dedup_stats(docs: DataFrame, chunk_tokens: int = 16) -> DataFrame:
             ),
         )
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Marginal novelty per document: the fraction of the doc's distinct
+    n-gram shingles whose FIRST corpus occurrence (min doc_id) is this
+    doc. The doc-level complement of ``heaps_curve``: a curation pass
+    orders/ranks docs by how much genuinely new text they contribute —
+    near-zero novelty late in the corpus = template/boilerplate traffic
+    even when exact/MinHash dedup passes.
+
+    Shape: explode -> per-doc DISTINCT shingle (md5, 16-byte shuffle
+    keys) -> one shingle-keyed min agg -> join back on the same key ->
+    one doc agg. Same shared-hash idiom measured sublinear at 10x.
+
+    Returns (doc_id, n_shingles INT, n_novel INT, novelty DOUBLE r6).
+    """
+    from ..functions.text import ngram_array, tokens
+
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(ngram_array(tokens(F.col("text")), n)).alias("g"),
+        )
+        .select("doc_id", F.md5(F.col("g")).alias("h"))
+        .distinct()
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("int")
+            .alias("n_novel"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def template_prefix_groups(
+    docs: DataFrame, prefix_tokens: int = 8, min_group: int = 2
+) -> DataFrame:
+    """Template-traffic detection by shared document PREFIX: docs whose
+    first ``prefix_tokens`` tokens are identical form a group (form
+    letters, scaffolded generations, boilerplate headers). Near-dup
+    routes need the whole doc similar; this catches the
+    same-header-different-body shape they miss.
+
+    One md5(prefix) hash agg; group keys are 16 bytes on the shuffle.
+    Returns one row per group with >= min_group members:
+    (prefix_hash, n_docs INT, min_doc_id BIGINT, sample_prefix).
+    """
+    toks = tokens(F.col("text"))
+    prefix = F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))
+    p = docs.where(F.size(toks) >= prefix_tokens).select(
+        "doc_id", prefix.alias("prefix")
+    )
+    return (
+        p.groupBy(F.md5(F.col("prefix")).alias("prefix_hash"))
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.min("prefix").alias("sample_prefix"),
+        )
+        .filter(F.col("n_docs") >= min_group)
+    )

@@ -105,3 +105,50 @@ def test_encoding_flags_count_exactly(spark):
     assert out[0]["encoding_suspect"] == 0
     assert out[1]["n_mojibake"] == 2 and out[1]["encoding_suspect"] == 1
     assert out[2]["n_replacement"] == 3 and out[2]["encoding_suspect"] == 1
+
+
+def test_ngram_novelty_first_occurrence_attribution(spark):
+    # doc0 introduces all its shingles; doc1 copies doc0's text (zero
+    # novel); doc2 shares a 3-gram window with doc0 but adds new tail
+    texts = [
+        "a b c d e",       # shingles: abc bcd cde (3, all novel)
+        "a b c d e",       # same 3 shingles, first_doc=0 -> novelty 0
+        "c d e f g",       # cde (seen), def, efg -> 2/3 novel
+    ]
+    out = {
+        r["doc_id"]: r for r in __import__(
+            "dataquality_box_spark.operators.corpus", fromlist=["ngram_novelty"]
+        ).ngram_novelty(_docs(spark, texts), n=3).collect()
+    }
+    assert out[0]["n_shingles"] == 3 and out[0]["novelty"] == 1.0
+    assert out[1]["n_novel"] == 0 and out[1]["novelty"] == 0.0
+    assert out[2]["n_shingles"] == 3 and out[2]["n_novel"] == 2
+    assert abs(out[2]["novelty"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_ngram_novelty_short_docs_absent(spark):
+    # docs shorter than n produce no shingles and no row
+    texts = ["a b", "x y z"]
+    from dataquality_box_spark.operators.corpus import ngram_novelty
+
+    rows = ngram_novelty(_docs(spark, texts), n=3).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_template_prefix_groups_same_header_different_body(spark):
+    from dataquality_box_spark.operators.corpus import template_prefix_groups
+
+    header = "dear customer thank you for your recent order"
+    texts = [
+        header + " of widgets arriving tuesday",
+        header + " of gadgets arriving friday",
+        "completely unrelated document body with enough tokens here",
+        "short doc",  # < 8 tokens -> excluded, not grouped
+    ]
+    rows = template_prefix_groups(
+        _docs(spark, texts), prefix_tokens=8, min_group=2
+    ).collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert g["n_docs"] == 2 and g["min_doc_id"] == 0
+    assert g["sample_prefix"] == header

@@ -54,6 +54,8 @@ HEADLINE_QUERIES = (
     "dedup_jaccard_lsh",
     "embedding_cosine_topk",
     "neardup_ann",
+    "lm_perplexity_report",
+    "chunk_rewrite_dedup",
 )
 
 

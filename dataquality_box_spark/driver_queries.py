@@ -4919,6 +4919,219 @@ def template_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CCNet-style corpus-trained LM scoring (operators/lm.py): a word-
+# bigram add-one LM trained by aggregation on the doc_id%10==0 reference
+# slice, every doc scored by avg negative log-likelihood. Cross-engine
+# exactness via integer micro-nat sums (each distinct bigram's logprob
+# rounds once to 1e-6 before the order-dependent sum).
+@_q(
+    "lm_perplexity_report",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+           FROM tt, unnest(range(1, len(tk))) AS u(i)),
+    tr AS (SELECT * FROM bg WHERE doc_id % 10 = 0),
+    c2 AS (SELECT md5(w1 || chr(10) || w2) AS h2, COUNT(*) AS c2
+           FROM tr GROUP BY 1),
+    c1 AS (SELECT md5(w1) AS h1, COUNT(*) AS c1 FROM tr GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vs
+          FROM (SELECT unnest(tk) AS tok FROM tt WHERE doc_id % 10 = 0) q),
+    sc AS (SELECT doc_id,
+                  CAST(ROUND(ln((COALESCE(c2.c2, 0) + 1)
+                                / CAST(COALESCE(c1.c1, 0) + v.vs AS DOUBLE))
+                             * 1000000) AS BIGINT) AS term
+           FROM bg
+           LEFT JOIN c2 ON md5(bg.w1 || chr(10) || bg.w2) = c2.h2
+           LEFT JOIN c1 ON md5(bg.w1) = c1.h1
+           CROSS JOIN v),
+    a AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+                 CAST(-SUM(term) AS BIGINT) AS micro_nll
+          FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, micro_nll,
+           ((2 * micro_nll + n_bigrams) // (2 * n_bigrams)) / 1000000.0
+             AS avg_nll
+    FROM a
+    """,
+)
+def lm_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.lm import lm_perplexity
+
+    return lm_perplexity(_tbl(spark, sf_dir, "documents"), train_mod=10)
+
+
+# --- Naive-Bayes quality classifier (operators/classifier.py): train on
+# doc_id%3!=0 with a deterministic integer-compare label (2*distinct >=
+# total tokens), score the held-out third. Same micro-nat discipline.
+@_q(
+    "nb_classifier_scores",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    lab AS (SELECT doc_id, tk,
+                   CASE WHEN 2 * len(list_distinct(tk)) >= len(tk)
+                        THEN 1 ELSE 0 END AS y
+            FROM tt),
+    tr AS (SELECT * FROM lab WHERE doc_id % 3 <> 0),
+    sc AS (SELECT doc_id, tk FROM lab WHERE doc_id % 3 = 0),
+    tok_tr AS (SELECT doc_id, y, unnest(tk) AS tok FROM tr),
+    wc AS (SELECT md5(tok) AS ht, SUM(y) AS ck, SUM(1 - y) AS cd
+           FROM tok_tr GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(y) FROM tr) AS docs_k,
+                   (SELECT SUM(1 - y) FROM tr) AS docs_d,
+                   (SELECT COUNT(*) FROM tr) AS docs,
+                   (SELECT SUM(y) FROM tok_tr) AS nk,
+                   (SELECT SUM(1 - y) FROM tok_tr) AS nd,
+                   (SELECT COUNT(DISTINCT tok) FROM tok_tr) AS vs),
+    ts AS (SELECT s.doc_id,
+                  CAST(ROUND(ln((COALESCE(wc.ck, 0) + 1)
+                                / CAST(tot.nk + tot.vs AS DOUBLE))
+                             * 1000000) AS BIGINT)
+                - CAST(ROUND(ln((COALESCE(wc.cd, 0) + 1)
+                                / CAST(tot.nd + tot.vs AS DOUBLE))
+                             * 1000000) AS BIGINT) AS term
+           FROM (SELECT doc_id, unnest(tk) AS tok FROM sc) s
+           LEFT JOIN wc ON md5(s.tok) = wc.ht
+           CROSS JOIN tot),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_toks,
+                   SUM(term) AS tok_odds
+            FROM ts GROUP BY doc_id),
+    pr AS (SELECT CAST(ROUND(ln((docs_k + 1) / CAST(docs + 2 AS DOUBLE))
+                             * 1000000) AS BIGINT)
+                - CAST(ROUND(ln((docs_d + 1) / CAST(docs + 2 AS DOUBLE))
+                             * 1000000) AS BIGINT) AS prior
+           FROM tot)
+    SELECT sc.doc_id,
+           COALESCE(agg.n_toks, 0) AS n_toks,
+           CAST(pr.prior + COALESCE(agg.tok_odds, 0) AS BIGINT)
+             AS micro_logodds,
+           CAST(pr.prior + COALESCE(agg.tok_odds, 0) > 0 AS INT) AS pred_keep
+    FROM sc LEFT JOIN agg USING (doc_id) CROSS JOIN pr
+    """,
+)
+def nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classifier import nb_train_score
+
+    return nb_train_score(_tbl(spark, sf_dir, "documents"), holdout_mod=3)
+
+
+# --- C4-style duplicate-chunk REMOVAL (operators/corpus.py): the
+# transform companion to chunk_dedup_report — rebuild each doc keeping
+# only first-occurrence 16-token chunks ((doc_id, ci) order).
+@_q(
+    "chunk_rewrite_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents
+               WHERE len({_TOKENS}) > 0),
+    ch AS (SELECT doc_id, ci,
+                  array_to_string(
+                    list_slice(toks, ci * 16 + 1, (ci + 1) * 16), ' ') AS chunk
+           FROM d, unnest(generate_series(
+                  0, CAST(ceil(len(toks) / 16.0) AS INT) - 1)) AS t(ci)),
+    fo AS (SELECT doc_id, ci, chunk,
+                  ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                     ORDER BY doc_id, ci) AS rn
+           FROM ch)
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                               ' ' ORDER BY ci), '') AS new_text
+    FROM fo GROUP BY doc_id
+    """,
+)
+def chunk_rewrite_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import chunk_dedup_rewrite
+
+    return chunk_dedup_rewrite(_tbl(spark, sf_dir, "documents"), chunk_tokens=16)
+
+
+# --- shuffle-skew diagnostic (operators/skew.key_skew_report) over the
+# transcript conv_id key — the north rule's long-conversation skew
+# lever decided by data, not guesswork. Integer-exact hot flag.
+@_q(
+    "conv_skew_report",
+    f"""
+    WITH t AS ({{transcripts}}),
+    c AS (SELECT conv_id, COUNT(*) AS n_rows FROM t GROUP BY conv_id),
+    tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
+    SELECT conv_id, CAST(n_rows AS INT) AS n_rows,
+           (n_rows * 1000000) // total AS share_ppm,
+           CAST(n_rows * n_keys > 4 * total AS INT) AS hot
+    FROM c CROSS JOIN tot
+    """.format(transcripts=TRANSCRIPTS_SQL_DUCKDB),
+)
+def conv_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import key_skew_report
+
+    return key_skew_report(transcripts_view(spark, sf_dir), "conv_id", factor=4)
+
+
+# --- crawl-snapshot CDC diff (operators/snapshot.snapshot_diff): old
+# snapshot = docs minus doc_id%17==3 with doc_id%13==0 texts perturbed;
+# new snapshot = docs minus doc_id%19==5 — so all four statuses occur.
+@_q(
+    "snapshot_diff_report",
+    """
+    WITH old AS (SELECT doc_id,
+                        CASE WHEN doc_id % 13 = 0 THEN text || ' legacy'
+                             ELSE text END AS text
+                 FROM documents WHERE doc_id % 17 <> 3),
+    new AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 5),
+    o AS (SELECT doc_id, md5(text) AS old_hash FROM old),
+    n AS (SELECT doc_id, md5(text) AS new_hash FROM new)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_hash IS NULL THEN 'added'
+                WHEN n.new_hash IS NULL THEN 'deleted'
+                WHEN o.old_hash <> n.new_hash THEN 'changed'
+                ELSE 'same' END AS status,
+           o.old_hash, n.new_hash
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.snapshot import snapshot_diff
+
+    docs = _tbl(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" legacy")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.where(F.col("doc_id") % 19 != 5).select("doc_id", "text")
+    return snapshot_diff(old, new, key="doc_id", payload="text")
+
+
+# --- winnowing fingerprints (corpus.winnow_fingerprints, MOSS /
+# Schleimer 2003): per-doc min-hash-per-window selection over 4-gram
+# md5s, window w=3; output is the order-free set digest.
+@_q(
+    "winnow_fingerprint_report",
+    f"""
+    WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    gr AS (SELECT doc_id, i,
+                  md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                      || tk[i+3]) AS h,
+                  len(tk) - 3 AS m
+           FROM tt, unnest(range(1, greatest(len(tk) - 3, 0) + 1)) AS u(i)),
+    sel AS (SELECT doc_id, m,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+                     AS win_min,
+                   i
+            FROM gr),
+    kept AS (SELECT DISTINCT doc_id, m, win_min
+             FROM sel WHERE i <= m - 2)
+    SELECT doc_id, CAST(MAX(m) AS INT) AS n_grams,
+           CAST(COUNT(*) AS INT) AS n_fingerprints,
+           md5(string_agg(win_min, '' ORDER BY win_min)) AS fp_digest
+    FROM kept GROUP BY doc_id
+    """,
+)
+def winnow_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import winnow_fingerprints
+
+    return winnow_fingerprints(_tbl(spark, sf_dir, "documents"), k=4, w=3)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole
@@ -4987,15 +5200,21 @@ _CHECKED_FIRST: tuple[str, ...] = (
     # in favor of the NEW dedup signals — semantic (SemDeDup) and
     # ExactSubstr-style duplicated spans)
     "dedup_exact",
-    "doc_fingerprint",
+    # round-5 rotation: doc_fingerprint (rolling hash) yields its seat
+    # to its robust successor winnow_fingerprint_report (MOSS
+    # winnowing); both stay registered + oracle-paired past the window
+    "winnow_fingerprint_report",
     "dedup_jaccard_lsh",
     "semantic_dedup",
     "dedup_incremental_lsh",
     "simhash64",
     "duplicated_span_stats",
-    # similarity search (exact baseline rotated out; scale routes in)
+    # similarity search (exact baseline rotated out; scale routes in;
+    # round-5 rotation: ivf_ann_topk — same ANN family as neardup_ann —
+    # yields to the corpus-trained LM perplexity, the north rule's
+    # KenLM-style signal in distributed-training form)
     "neardup_ann",
-    "ivf_ann_topk",
+    "lm_perplexity_report",
     # scoring / curation / drift / media
     "doc_langid_udf_vs_sql",
     "doc_quality_score",

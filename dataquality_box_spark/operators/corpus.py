@@ -218,3 +218,149 @@ def template_prefix_groups(
         )
         .filter(F.col("n_docs") >= min_group)
     )
+
+
+def chunk_dedup_rewrite(docs: DataFrame, chunk_tokens: int = 16) -> DataFrame:
+    """The TRANSFORM companion to ``chunk_dedup_stats``: rebuild each
+    document keeping only chunks whose FIRST corpus occurrence (ordered
+    by (doc_id, chunk_idx)) is this position — C4's "discard any span
+    seen before" as an actual text rewrite, not a report. Paragraph
+    boilerplate that survives document-level dedup is physically removed
+    while the first copy keeps the corpus lossless.
+
+    Shape: one explode; first-occurrence is a map-side-combinable
+    min(struct(doc_id, ci)) agg keyed on the 16-byte chunk md5 (no
+    per-partition sort, unlike a window); the join back and the doc_id
+    reassembly are the only shuffles that carry chunk text — both are
+    unavoidable for a rewrite (text must move to its output row).
+
+    Returns (doc_id, n_chunks INT, n_kept INT, new_text) for every doc
+    with >= 1 token; a doc whose every chunk is a repeat gets
+    new_text = ''.
+    """
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size("toks") / float(chunk_tokens)).cast("int")
+    chunks = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "ci",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("toks"), F.col("ci") * chunk_tokens + 1, chunk_tokens),
+            ).alias("chunk"),
+        )
+        .withColumn("h", F.md5(F.col("chunk")))
+    )
+    first = chunks.groupBy("h").agg(
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("ci").alias("c"))).alias(
+            "fst"
+        )
+    )
+    keep = (F.col("doc_id") == F.col("fst.d")) & (F.col("ci") == F.col("fst.c"))
+    return (
+        chunks.join(first, "h")
+        .withColumn("keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(
+                                    F.col("ci").alias("ci"),
+                                    F.col("chunk").alias("chunk"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+            ).alias("new_text"),
+        )
+    )
+
+
+def _winnow_selected(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, m, win_min) rows: each full w-window's minimum 4-gram
+    hash, one row per window start (duplicates collapse downstream)."""
+    from ..functions.text import ngram_array
+
+    toks = tokens(F.col("text"))
+    grams = (
+        docs.select("doc_id", ngram_array(toks, k).alias("gs"))
+        .where(F.size("gs") >= w)
+        .select("doc_id", F.posexplode("gs").alias("pos", "g"))
+        .select("doc_id", "pos", F.md5(F.col("g")).alias("h"))
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    per_doc = Window.partitionBy("doc_id")
+    return (
+        grams.withColumn("m", F.count("*").over(per_doc))
+        .withColumn("win_min", F.min("h").over(frame))
+        .where(F.col("pos") <= F.col("m") - w)
+        .select("doc_id", "m", "win_min")
+    )
+
+
+def winnow_fingerprint_set(docs: DataFrame, k: int = 4, w: int = 3) -> DataFrame:
+    """Distinct (doc_id, fingerprint) pairs — the raw selected set, the
+    unit an overlap index stores and joins on."""
+    return (
+        _winnow_selected(docs, k, w)
+        .select("doc_id", F.col("win_min").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 3
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-gram, slide a w-hash window, keep
+    each window's MINIMUM hash — the selected set is position-robust
+    (guaranteed to share fingerprints with any copy of a passage longer
+    than w+k-1 tokens) and ~1/w the size of the full shingle set, which
+    is exactly what an extreme-scale overlap index wants to store.
+
+    Consecutive windows usually select the same minimum, so the distinct
+    step collapses runs; only the distinct hash VALUES matter (the
+    standard no-position variant), which keeps the window frame a plain
+    min(h) — no argmin tie-break to disagree on across engines.
+
+    Returns per doc: (doc_id, n_grams INT, n_fingerprints INT,
+    fp_digest) where fp_digest is the md5 of the sorted concatenated
+    fingerprint hashes — an order-free set digest two corpora can be
+    compared by.
+
+    Shape: one explode + one per-doc window sweep (partition-local, no
+    extra shuffle beyond the doc_id sort) + one doc agg.
+    """
+    sel = _winnow_selected(docs, k, w)
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.max("m").cast("int").alias("n_grams"),
+            F.countDistinct("win_min").cast("int").alias("n_fingerprints"),
+            F.md5(
+                F.concat_ws(
+                    "", F.array_sort(F.collect_set("win_min"))
+                )
+            ).alias("fp_digest"),
+        )
+    )

@@ -46,3 +46,32 @@ def salted_agg(
         *[c.alias(n) for n, c in aggs.items()]
     )
     return partial.groupBy(key).agg(*[c.alias(n) for n, c in finals.items()])
+
+
+def key_skew_report(df: DataFrame, key: str, factor: int = 4) -> DataFrame:
+    """Skew DIAGNOSTIC: per-key row counts with an integer-exact hot-key
+    flag — run before a shuffle-heavy stage to decide whether the
+    salting path above (or conversation.py's secondary bucketing) is
+    needed for this input.
+
+    A key is hot when its row count exceeds ``factor`` times the mean
+    rows-per-key, compared in integers (n * n_keys > factor * total) so
+    Spark and DuckDB agree bit-for-bit; share_ppm is integer division.
+
+    Shape: one map-side-combinable count agg + a broadcast single-row
+    totals frame; output is keyspace-sized, never corpus-sized.
+
+    Returns (key, n_rows INT, share_ppm BIGINT, hot INT).
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("total"), F.count("*").alias("n_keys")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        key,
+        F.col("n_rows").cast("int").alias("n_rows"),
+        F.expr("(n_rows * 1000000) div total").alias("share_ppm"),
+        (
+            F.col("n_rows") * F.col("n_keys") > F.lit(factor) * F.col("total")
+        ).cast("int").alias("hot"),
+    )

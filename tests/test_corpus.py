@@ -152,3 +152,58 @@ def test_template_prefix_groups_same_header_different_body(spark):
     g = rows[0]
     assert g["n_docs"] == 2 and g["min_doc_id"] == 0
     assert g["sample_prefix"] == header
+
+
+def test_chunk_dedup_rewrite_first_occurrence_kept(spark):
+    from dataquality_box_spark.operators.corpus import chunk_dedup_rewrite
+
+    texts = [
+        "a b c d",        # chunks(2): "a b", "c d" -> both first
+        "c d e f c d",    # "c d" dup, "e f" new, "c d" dup again
+        "a b",            # entire doc is a repeat -> new_text ''
+        "x y z",          # tail chunk "z" shorter than 2 -> kept as-is
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup_rewrite(_docs(spark, texts), chunk_tokens=2).collect()
+    }
+    assert out[0]["new_text"] == "a b c d" and out[0]["n_kept"] == 2
+    assert out[1]["n_chunks"] == 3 and out[1]["n_kept"] == 1
+    assert out[1]["new_text"] == "e f"
+    assert out[2]["n_kept"] == 0 and out[2]["new_text"] == ""
+    assert out[3]["new_text"] == "x y z" and out[3]["n_kept"] == 2
+
+
+def test_winnow_fingerprints_closed_form(spark):
+    from dataquality_box_spark.operators.corpus import winnow_fingerprints
+
+    # doc0: 6 tokens -> 3 4-grams -> exactly one full window of w=3:
+    # fp set = {min of all three gram hashes}
+    # doc1: identical text -> identical digest; doc2: too short -> absent
+    texts = ["a b c d e f", "a b c d e f", "a b c d"]
+    out = {
+        r["doc_id"]: r
+        for r in winnow_fingerprints(_docs(spark, texts), k=4, w=3).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0]["n_grams"] == 3 and out[0]["n_fingerprints"] == 1
+    assert out[0]["fp_digest"] == out[1]["fp_digest"]
+
+
+def test_winnow_shared_passage_shares_fingerprints(spark):
+    from dataquality_box_spark.operators.corpus import (
+        winnow_fingerprint_set,
+        winnow_fingerprints,
+    )
+
+    # winnowing guarantee: a copied passage longer than w+k-1 tokens
+    # shares at least one selected fingerprint between the two docs,
+    # wherever it sits in each doc
+    shared = "p q r s t u v w"
+    texts = [shared + " x1 y1 z1", "a0 b0 c0 " + shared]
+    sets: dict[int, set] = {0: set(), 1: set()}
+    for r in winnow_fingerprint_set(_docs(spark, texts), k=4, w=3).collect():
+        sets[r["doc_id"]].add(r["fingerprint"])
+    assert sets[0] & sets[1], "copied passage must share a fingerprint"
+    digests = winnow_fingerprints(_docs(spark, texts), k=4, w=3).collect()
+    assert digests[0]["fp_digest"] != digests[1]["fp_digest"]

@@ -5132,6 +5132,100 @@ def winnow_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_tbl(spark, sf_dir, "documents"), k=4, w=3)
 
 
+def _winnow_set_sql(pred: str) -> str:
+    """DuckDB twin of corpus.winnow_fingerprint_set over documents
+    filtered by ``pred`` (k=4, w=3)."""
+    return f"""
+    SELECT DISTINCT doc_id, win_min AS fp FROM (
+      SELECT doc_id, i, m,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+               AS win_min
+      FROM (SELECT doc_id, i,
+                   md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                       || tk[i+3]) AS h,
+                   len(tk) - 3 AS m
+            FROM (SELECT doc_id, {_TOKENS} AS tk FROM documents
+                  WHERE {pred}) t,
+                 unnest(range(1, greatest(len(tk) - 3, 0) + 1)) AS u(i)) g
+    ) s WHERE i <= m - 2
+    """
+
+
+# --- cross-corpus overlap at fingerprint granularity (the pairwise
+# "query the overlap index" op the winnow set exists for): even-doc_id
+# half vs odd half, pairs sharing >= 1 selected fingerprint.
+@_q(
+    "winnow_overlap_report",
+    f"""
+    WITH fa AS ({_winnow_set_sql("doc_id % 2 = 0")}),
+    fb AS ({_winnow_set_sql("doc_id % 2 = 1")}),
+    sa AS (SELECT doc_id AS doc_a, COUNT(*) AS n_fp_a FROM fa GROUP BY 1),
+    sb AS (SELECT doc_id AS doc_b, COUNT(*) AS n_fp_b FROM fb GROUP BY 1),
+    sh AS (SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b,
+                  CAST(COUNT(*) AS INT) AS n_shared
+           FROM fa JOIN fb USING (fp) GROUP BY 1, 2
+           HAVING COUNT(*) >= 1)
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_fp_a AS INT) AS n_fp_a, CAST(n_fp_b AS INT) AS n_fp_b
+    FROM sh JOIN sa USING (doc_a) JOIN sb USING (doc_b)
+    """,
+)
+def winnow_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import winnow_overlap_pairs
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        k=4,
+        w=3,
+        min_shared=1,
+    )
+
+
+# --- training-mixture planner (curation.mixture_plan): integer-exact
+# per-source sampling rates / epoch counts for a 60/25/15(/5 absent)
+# mixture spec at a 1M-token budget; the absent source reports
+# deficit=1 so a misconfigured mix fails loudly in review.
+@_q(
+    "mixture_plan_report",
+    f"""
+    WITH w0(source, w0) AS (VALUES ('src0', 60), ('src1', 25), ('src2', 15),
+                                   ('src_absent', 5)),
+    w AS (SELECT source, CAST(w0 AS BIGINT) AS w FROM w0),
+    av AS (SELECT source, CAST(COUNT(*) AS INT) AS n_docs,
+                  CAST(SUM(len({_TOKENS})) AS BIGINT) AS toks
+           FROM documents GROUP BY source),
+    j AS (SELECT COALESCE(av.source, w.source) AS source,
+                 COALESCE(n_docs, 0) AS n_docs,
+                 COALESCE(toks, 0) AS tokens_available,
+                 COALESCE(w.w, 0) AS w
+          FROM av FULL OUTER JOIN w ON av.source = w.source)
+    SELECT source, n_docs, tokens_available,
+           CAST((1000000 * w) // 105 AS BIGINT) AS target_tokens,
+           CAST(CASE WHEN tokens_available > 0
+                THEN LEAST(1000000,
+                           ((1000000 * w) // 105) * 1000000
+                             // tokens_available)
+                ELSE 0 END AS BIGINT) AS rate_ppm,
+           CAST(CASE WHEN tokens_available > 0
+                THEN ((1000000 * w) // 105) * 1000000 // tokens_available
+                ELSE 0 END AS BIGINT) AS epochs_micro,
+           CAST((1000000 * w) // 105 > tokens_available AS INT) AS deficit
+    FROM j
+    """,
+)
+def mixture_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import mixture_plan
+
+    return mixture_plan(
+        _tbl(spark, sf_dir, "documents"),
+        weights={"src0": 60, "src1": 25, "src2": 15, "src_absent": 5},
+        budget_tokens=1_000_000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

@@ -364,3 +364,48 @@ def winnow_fingerprints(
             ).alias("fp_digest"),
         )
     )
+
+
+def winnow_overlap_pairs(
+    docs_a: DataFrame, docs_b: DataFrame, k: int = 4, w: int = 3, min_shared: int = 1
+) -> DataFrame:
+    """Cross-corpus overlap at winnowing-fingerprint granularity: pairs
+    (doc_a, doc_b) sharing >= ``min_shared`` selected fingerprints, with
+    the shared count and each side's set size — the pairwise "query the
+    overlap index" operation the fingerprint set exists for
+    (decontamination and plagiarism-style audits run this between a
+    training corpus and an eval/benchmark corpus).
+
+    Scale posture: both sides reduce to distinct (doc_id, fingerprint)
+    first (~1/w of the shingle volume, 16-byte hashes), the pair join is
+    fingerprint-keyed equality — candidate work is Sum over fingerprints
+    of |A_fp| * |B_fp|, the same bucket-bound as the LSH routes, never
+    |A| * |B|.
+
+    Returns (doc_a, doc_b, n_shared INT, n_fp_a INT, n_fp_b INT).
+    """
+    fa = winnow_fingerprint_set(docs_a, k, w).withColumnsRenamed(
+        {"doc_id": "doc_a", "fingerprint": "fp"}
+    )
+    fb = winnow_fingerprint_set(docs_b, k, w).withColumnsRenamed(
+        {"doc_id": "doc_b", "fingerprint": "fp"}
+    )
+    sizes_a = fa.groupBy("doc_a").agg(F.count("*").alias("n_fp_a"))
+    sizes_b = fb.groupBy("doc_b").agg(F.count("*").alias("n_fp_b"))
+    shared = (
+        fa.join(fb, "fp")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes_a, "doc_a")
+        .join(sizes_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.col("n_fp_a").cast("int").alias("n_fp_a"),
+            F.col("n_fp_b").cast("int").alias("n_fp_b"),
+        )
+    )

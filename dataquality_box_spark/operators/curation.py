@@ -268,3 +268,70 @@ def dsir_logratio_weights(
             6,
         ).alias("dsir_weight")
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: Mapping[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+) -> DataFrame:
+    """Training-mixture planner: given integer mixture ``weights`` per
+    source and a total token ``budget_tokens``, compute what each source
+    must yield — the arithmetic behind "web 60 / code 25 / wiki 15"
+    mixture specs (GPT-3 Table 2.2, LLaMA pre-training mix), executed as
+    one aggregation over the corpus.
+
+    Per source: tokens_available (whitespace tokens), target_tokens =
+    budget * w / sum(w) (integer division), rate_ppm = the sampling rate
+    that hits the target (capped at 1e6 — you cannot sample more than
+    once per epoch), epochs_micro = target/available in millionths
+    (values above 1e6 mean the source must repeat — the over-epoching
+    signal Muennighoff et al. 2023 bounds at ~4 epochs), and a deficit
+    flag. All integer arithmetic end to end — both engines agree
+    bit-for-bit and the plan is reproducible.
+
+    Sources in the corpus but not in ``weights`` get weight 0 (excluded,
+    rate 0); weights naming absent sources are reported with zero
+    availability and deficit=1 so a misconfigured mix fails loudly in
+    review rather than silently under-delivering.
+
+    Shape: one count/sum agg keyed on source + a broadcast weights frame
+    (mixture specs are dozens of rows); output is sources-sized.
+    """
+    if not weights or min(weights.values()) < 0:
+        raise ValueError("weights must be non-empty and non-negative")
+    w_total = sum(weights.values())
+    spark = docs.sparkSession
+    w_df = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items())], f"{source_col} string, w long"
+    )
+    from ..functions.text import tokens
+
+    avail = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("tokens_available"),
+    )
+    j = avail.join(F.broadcast(w_df), source_col, "full_outer").select(
+        source_col,
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("int").alias("n_docs"),
+        F.coalesce(F.col("tokens_available"), F.lit(0)).alias("tokens_available"),
+        F.coalesce(F.col("w"), F.lit(0)).alias("w"),
+    )
+    target = F.expr(f"({budget_tokens} * w) div {w_total}")
+    return j.select(
+        source_col,
+        "n_docs",
+        "tokens_available",
+        target.alias("target_tokens"),
+        F.when(F.col("tokens_available") > 0,
+               F.least(F.lit(1_000_000),
+                       F.expr(f"(({budget_tokens} * w) div {w_total}) * 1000000 "
+                              "div tokens_available")))
+        .otherwise(F.lit(0)).alias("rate_ppm"),
+        F.when(F.col("tokens_available") > 0,
+               F.expr(f"(({budget_tokens} * w) div {w_total}) * 1000000 "
+                      "div tokens_available"))
+        .otherwise(F.lit(0)).alias("epochs_micro"),
+        (target > F.col("tokens_available")).cast("int").alias("deficit"),
+    )

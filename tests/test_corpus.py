@@ -207,3 +207,19 @@ def test_winnow_shared_passage_shares_fingerprints(spark):
     assert sets[0] & sets[1], "copied passage must share a fingerprint"
     digests = winnow_fingerprints(_docs(spark, texts), k=4, w=3).collect()
     assert digests[0]["fp_digest"] != digests[1]["fp_digest"]
+
+
+def test_winnow_overlap_pairs_counts(spark):
+    from dataquality_box_spark.operators.corpus import winnow_overlap_pairs
+
+    shared = "p q r s t u v w"
+    a = _docs(spark, [shared + " x1 y1 z1", "m1 m2 m3 m4 m5 m6"])
+    b = _docs(spark, ["a0 b0 c0 " + shared, "n1 n2 n3 n4 n5 n6"])
+    rows = winnow_overlap_pairs(a, b, k=4, w=3, min_shared=1).collect()
+    # only the (0, 0) pair shares the copied passage; the m*/n* docs
+    # share nothing with anyone
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 0)
+    assert r["n_shared"] >= 1
+    assert r["n_fp_a"] >= r["n_shared"] and r["n_fp_b"] >= r["n_shared"]

@@ -206,3 +206,58 @@ def test_shared_hash_fraction_matches_pandas_reference(spark):
         assert got[o]["n_rows"] == n
         assert got[o]["n_shared"] == s
         assert abs(got[o]["shared_frac"] - round(s / n, 6)) < 1e-12
+
+
+def test_mixture_plan_integer_exact(spark):
+    import pandas as pd
+
+    from dataquality_box_spark.operators.curation import mixture_plan
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "source": ["web", "web", "code", "wiki"],
+            "text": ["a b c d", "e f g h", "x y", "z"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    # weights 60/25/15 of a 100-token budget; 'absent' has weight 0 rows
+    out = {
+        r["source"]: r
+        for r in mixture_plan(
+            docs, {"web": 60, "code": 25, "wiki": 15}, budget_tokens=100
+        ).collect()
+    }
+    web = out["web"]  # 8 tokens available, target 60 -> 7.5 epochs
+    assert web["tokens_available"] == 8 and web["target_tokens"] == 60
+    assert web["epochs_micro"] == 60 * 1_000_000 // 8
+    assert web["rate_ppm"] == 1_000_000  # capped
+    assert web["deficit"] == 1
+    code = out["code"]  # 2 tokens, target 25
+    assert code["target_tokens"] == 25 and code["deficit"] == 1
+    wiki = out["wiki"]  # 1 token, target 15
+    assert wiki["tokens_available"] == 1 and wiki["epochs_micro"] == 15_000_000
+
+
+def test_mixture_plan_absent_source_fails_loudly(spark):
+    import pandas as pd
+    import pytest
+
+    from dataquality_box_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "source": ["web"], "text": ["a b"]})
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_plan(docs, {"web": 1, "ghost": 1}, 10).collect()
+    }
+    assert out["ghost"]["tokens_available"] == 0
+    assert out["ghost"]["deficit"] == 1 and out["ghost"]["rate_ppm"] == 0
+    # unweighted corpus source is excluded (rate 0), not an error
+    out2 = {
+        r["source"]: r for r in mixture_plan(docs, {"other": 1}, 10).collect()
+    }
+    assert out2["web"]["target_tokens"] == 0 and out2["web"]["rate_ppm"] == 0
+    with pytest.raises(ValueError):
+        mixture_plan(docs, {}, 10)

@@ -5226,6 +5226,61 @@ def mixture_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SFT example extraction (conversation.sft_examples): one training
+# example per assistant turn — prior context assembled in stable
+# turn_idx order on the pipeline's one conv_id window pass.
+@_q(
+    "sft_examples_report",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    c AS (SELECT conv_id, turn_idx, role, text,
+                 COALESCE(string_agg(role || ': ' || text, chr(10))
+                          OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), '')
+                   AS context_text,
+                 COUNT(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS nct
+          FROM t)
+    SELECT conv_id, turn_idx, CAST(nct AS INT) AS n_context_turns,
+           context_text, text AS response_text
+    FROM c WHERE role = 'assistant'
+    """,
+)
+def sft_examples_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.conversation import sft_examples
+
+    return sft_examples(transcripts_view(spark, sf_dir))
+
+
+# --- context-window doc splitting (curation.split_long_docs): cut long
+# docs into max-20-token chunks overlapping by 4 (stride 16).
+@_q(
+    "split_docs_report",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS tk FROM documents
+               WHERE len({_TOKENS}) > 0),
+    n AS (SELECT doc_id, tk,
+                 GREATEST(1, CAST(ceil((len(tk) - 4) / 16.0) AS INT))
+                   AS n_chunks
+          FROM d)
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           CAST(len(list_slice(tk, ci * 16 + 1, ci * 16 + 20)) AS INT)
+             AS n_tokens,
+           array_to_string(list_slice(tk, ci * 16 + 1, ci * 16 + 20), ' ')
+             AS chunk_text
+    FROM n, unnest(range(0, n_chunks)) AS u(ci)
+    """,
+)
+def split_docs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import split_long_docs
+
+    return split_long_docs(
+        _tbl(spark, sf_dir, "documents"), max_tokens=20, overlap=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

@@ -239,3 +239,46 @@ def session_bounds(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def sft_examples(
+    transcripts: DataFrame, response_role: str = "assistant"
+) -> DataFrame:
+    """Flatten conversations into supervised fine-tuning examples: one
+    row per ``response_role`` turn, pairing the turn's text (the
+    response/label) with the concatenated prior context in stable
+    (turn_idx) order — the transcript-to-training-example step an LLM
+    data pipeline runs after filter+scrub, producing what the trainer
+    actually consumes.
+
+    Context lines are "role: text" joined by newlines; a response with
+    no prior turns gets context_text = '' (first-turn generations are
+    kept, flagged by n_context_turns = 0, for the caller to filter).
+
+    Shape: one conv_id window pass (the same single Exchange the
+    pipeline's conversation stage rides) — context assembly is a
+    running collect_list per partition, then a narrow filter. At 100 TB
+    the context column is O(conversation length) per row; cap
+    downstream with split_long_docs if examples must bound at a context
+    window.
+
+    Returns (conv_id, turn_idx, n_context_turns INT, context_text,
+    response_text).
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    line = F.concat_ws(": ", F.col("role"), F.col("text"))
+    return (
+        transcripts.withColumn("__ctx", F.collect_list(line).over(w))
+        .where(F.col("role") == response_role)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.size("__ctx").cast("int").alias("n_context_turns"),
+            F.concat_ws("\n", F.col("__ctx")).alias("context_text"),
+            F.col("text").alias("response_text"),
+        )
+    )

@@ -335,3 +335,46 @@ def mixture_plan(
         .otherwise(F.lit(0)).alias("epochs_micro"),
         (target > F.col("tokens_available")).cast("int").alias("deficit"),
     )
+
+
+def split_long_docs(
+    docs: DataFrame, max_tokens: int = 512, overlap: int = 64
+) -> DataFrame:
+    """Context-window document splitting with overlap (the complement of
+    sequence packing: packing fills windows with short docs, this cuts
+    long docs DOWN to windows). Chunk ci covers tokens
+    [ci*stride+1 .. ci*stride+max_tokens] with stride =
+    max_tokens - overlap, so consecutive chunks share ``overlap`` tokens
+    and no token is lost; n_chunks = max(1, ceil((n-overlap)/stride)).
+
+    Deterministic integer arithmetic end to end; one explode, no joins.
+
+    Returns (doc_id, chunk_idx INT, n_tokens INT, chunk_text) for every
+    doc with >= 1 token.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    from ..functions.text import tokens
+
+    stride = max_tokens - overlap
+    toks = tokens(F.col("text"))
+    n = F.size("toks")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - overlap) / float(stride)).cast("int")
+    )
+    chunk = F.slice(F.col("toks"), F.col("ci") * stride + 1, max_tokens)
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.col("ci").cast("int").alias("chunk_idx"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )

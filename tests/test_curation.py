@@ -261,3 +261,39 @@ def test_mixture_plan_absent_source_fails_loudly(spark):
     assert out2["web"]["target_tokens"] == 0 and out2["web"]["rate_ppm"] == 0
     with pytest.raises(ValueError):
         mixture_plan(docs, {}, 10)
+
+
+def test_split_long_docs_overlap_and_tail(spark):
+    import pandas as pd
+
+    from dataquality_box_spark.operators.curation import split_long_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": [" ".join(f"t{i}" for i in range(10)), "a b"]}
+        )
+    )
+    out = sorted(
+        split_long_docs(docs, max_tokens=8, overlap=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    # doc0: 10 tokens, stride 6 -> chunks [t0..t7], [t6..t9]
+    assert [(r["doc_id"], r["chunk_idx"], r["n_tokens"]) for r in out] == [
+        (0, 0, 8),
+        (0, 1, 4),
+        (1, 0, 2),
+    ]
+    assert out[0]["chunk_text"].split()[-2:] == ["t6", "t7"]
+    assert out[1]["chunk_text"].split()[:2] == ["t6", "t7"]  # overlap
+    assert out[2]["chunk_text"] == "a b"  # short doc -> one whole chunk
+
+
+def test_split_long_docs_rejects_bad_overlap(spark):
+    import pandas as pd
+    import pytest
+
+    from dataquality_box_spark.operators.curation import split_long_docs
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a"]}))
+    with pytest.raises(ValueError):
+        split_long_docs(docs, max_tokens=8, overlap=8)

@@ -436,3 +436,29 @@ def test_bucketed_flags_handle_sparse_turn_idx(spark):
     by_idx = plain.set_index("turn_idx")
     assert bool(by_idx.loc[300, "bad_role_sequence"])  # cross-boundary repeat
     assert bool(by_idx.loc[1000, "out_of_order_ts"])  # across the empty bucket
+
+
+def test_sft_examples_context_assembly(spark):
+    import pandas as pd
+
+    from dataquality_box_spark.operators.conversation import sft_examples
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4 + ["c2"],
+            "turn_idx": [0, 1, 2, 3, 0],
+            "role": ["user", "assistant", "tool", "assistant", "assistant"],
+            "text": ["hi", "hello", "ran", "done", "opener"],
+        }
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in sft_examples(spark.createDataFrame(pdf)).collect()
+    }
+    assert set(out) == {("c1", 1), ("c1", 3), ("c2", 0)}
+    assert out[("c1", 1)]["context_text"] == "user: hi"
+    assert out[("c1", 1)]["response_text"] == "hello"
+    assert out[("c1", 3)]["context_text"] == "user: hi\nassistant: hello\ntool: ran"
+    assert out[("c1", 3)]["n_context_turns"] == 3
+    # first-turn generation: kept with empty context, flagged by count 0
+    assert out[("c2", 0)]["context_text"] == "" and out[("c2", 0)]["n_context_turns"] == 0

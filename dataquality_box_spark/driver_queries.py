@@ -5281,6 +5281,38 @@ def split_docs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- leakage-free train/eval split (curation.cluster_safe_split):
+# whole near-dup clusters land on one side; the gate is the md5-bucket
+# sample idiom keyed on CLUSTER id at eval_rate 0.1.
+@_q(
+    "cluster_safe_split_report",
+    f"""
+    WITH RECURSIVE pairs AS ({_jaccard_lsh_sql()}),
+    {_components_sql("pairs")},
+    full_l AS (SELECT doc_id, cluster_id FROM lbl
+               UNION ALL
+               SELECT doc_id, doc_id AS cluster_id FROM documents
+               WHERE doc_id NOT IN (SELECT doc_id FROM lbl))
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CASE WHEN CAST('0x' || substr(md5('split0'
+                          || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     < {int(0.1 * 2**32)}
+                THEN 'eval' ELSE 'train' END AS side
+    FROM full_l
+    """,
+)
+def cluster_safe_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import cluster_safe_split
+    from .operators.dedup import jaccard_pairs_lsh
+
+    d = _tbl(spark, sf_dir, "documents")
+    return cluster_safe_split(
+        jaccard_pairs_lsh(d, threshold=0.8, df_cap_inv=5),
+        all_docs=d,
+        eval_rate=0.1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation: the driver's correctness gate checks the
 # FIRST 50 entries of PAIRS, so the checked window must carry the whole

@@ -378,3 +378,39 @@ def split_long_docs(
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
     )
+
+
+def cluster_safe_split(
+    pairs: DataFrame,
+    all_docs: DataFrame,
+    eval_rate: float = 0.1,
+    salt: str = "split0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free train/eval split: WHOLE near-duplicate clusters land
+    on one side, so no eval document has a near-copy in train (the
+    failure plain random splits commit — Lee et al. 2022 measure the
+    resulting eval inflation). ``pairs`` is any near-dup pair frame
+    (MinHash/SimHash/semantic route); ``all_docs`` supplies singleton
+    docs so the split is total.
+
+    The side is the deterministic md5-bucket gate (hash_sample's idiom)
+    keyed on CLUSTER id, not doc id — same salt + rate reproduce the
+    same split on both engines and across resumes.
+
+    Returns (doc_id, cluster_id, side 'train'|'eval').
+
+    Scale posture: clustering is the large-star/small-star-capable CC
+    route (edge-set-sized rounds); the gate adds one narrow column on
+    the cluster assignment — no extra shuffle.
+    """
+    from .dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(
+        pairs, all_docs=all_docs, id_col=id_col
+    ).select(id_col, "cluster_id")
+    bucket = _hash_bucket(F.col("cluster_id"), salt)
+    side = F.when(
+        bucket < F.lit(sample_threshold(eval_rate)), F.lit("eval")
+    ).otherwise(F.lit("train"))
+    return clusters.select(id_col, "cluster_id", side.alias("side"))

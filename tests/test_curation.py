@@ -297,3 +297,29 @@ def test_split_long_docs_rejects_bad_overlap(spark):
     docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a"]}))
     with pytest.raises(ValueError):
         split_long_docs(docs, max_tokens=8, overlap=8)
+
+
+def test_cluster_safe_split_keeps_clusters_whole(spark):
+    import pandas as pd
+
+    from dataquality_box_spark.operators.curation import cluster_safe_split
+
+    # chain 1~2~3 must land on ONE side; 4 and 5 are singletons
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})
+    )
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 4, 5]}))
+    out = {
+        r["doc_id"]: r
+        for r in cluster_safe_split(pairs, docs, eval_rate=0.5).collect()
+    }
+    assert len(out) == 5
+    assert len({out[d]["side"] for d in (1, 2, 3)}) == 1
+    assert all(out[d]["cluster_id"] == 1 for d in (1, 2, 3))
+    assert out[4]["cluster_id"] == 4 and out[5]["cluster_id"] == 5
+    # deterministic: same inputs reproduce the same split
+    again = {
+        r["doc_id"]: r["side"]
+        for r in cluster_safe_split(pairs, docs, eval_rate=0.5).collect()
+    }
+    assert again == {d: out[d]["side"] for d in out}

@@ -87,6 +87,16 @@ def nb_train_score(
         )
     )
 
+    # loud guard: an empty train slice (or one with no tokens) would
+    # make (c+1)/(n_c+V) a division by zero -> silent NULL log-odds
+    # under ANSI-off; fail at train time instead
+    tot_row = totals.collect()[0]
+    if tot_row["docs"] == 0 or (tot_row["vs"] or 0) == 0:
+        raise ValueError(
+            f"NB train slice doc_id % {holdout_mod} != 0 is empty or has "
+            "no tokens; scores would be NULL for every held-out doc"
+        )
+
     def micro_ln(x: Column) -> Column:
         return F.round(F.log(x) * MICRO, 0).cast("long")
 

@@ -107,6 +107,14 @@ def lm_perplexity(
     slice is corpus-sized and the LM must shuffle-join.
     """
     c2, c1, vocab = train_bigram_lm(docs, train_mod)
+    # loud guard: an empty reference slice would make every smoothed
+    # probability (c2+1)/(c1+vs) a division by zero, which ANSI-off
+    # Spark silently turns into NULL scores — fail at train time instead
+    if (vocab.collect()[0]["vs"] or 0) == 0:
+        raise ValueError(
+            f"LM reference slice doc_id % {train_mod} == 0 has no tokens; "
+            "perplexity would be NULL for every document"
+        )
     if broadcast_lm:
         c2, c1 = F.broadcast(c2), F.broadcast(c1)
     bg = _bigrams(docs).select(

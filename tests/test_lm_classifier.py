@@ -79,3 +79,22 @@ def test_nb_prior_only_for_empty_doc(spark):
     assert out[0]["n_toks"] == 0
     assert out[0]["micro_logodds"] == _micro(3 / 4) - _micro(1 / 4)
     assert out[0]["pred_keep"] == 1
+
+
+def test_lm_empty_reference_slice_raises(spark):
+    import pytest
+
+    # train_mod=10 but no doc_id % 10 == 0 rows -> loud failure, not
+    # NULL perplexities
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b", "c d", "e f"]})
+    with pytest.raises(ValueError, match="reference slice"):
+        lm_perplexity(spark.createDataFrame(pdf), train_mod=10)
+
+
+def test_nb_empty_train_slice_raises(spark):
+    import pytest
+
+    # holdout_mod=1 puts EVERY doc in the held-out slice -> empty train
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "c d"]})
+    with pytest.raises(ValueError, match="train slice"):
+        nb_train_score(spark.createDataFrame(pdf), holdout_mod=1)

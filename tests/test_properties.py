@@ -566,3 +566,77 @@ def test_jpeg_decoder_guards_unsupported_streams():
     # truncated entropy stream
     with pytest.raises(ValueError, match="EOI"):
         decode_jpeg_pixels(good[:-10])
+
+
+# --- round-5 additions: winnowing + doc splitting vs pure-Python refs
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=3).map("".join),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_winnow_matches_python_reference(spark, toks, k, w):
+    import hashlib
+
+    from dataquality_box_spark.operators.corpus import winnow_fingerprint_set
+
+    def ref_winnow(tokens, k, w):
+        grams = [
+            " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+        ]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if len(hs) < w:
+            return set()
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [" ".join(toks)]})
+    )
+    got = {
+        r["fingerprint"]
+        for r in winnow_fingerprint_set(df, k=k, w=w).collect()
+    }
+    assert got == ref_winnow(toks, k, w)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("xyz"), min_size=1, max_size=2).map("".join),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=10),
+)
+@settings(max_examples=12, deadline=None)
+def test_split_long_docs_reconstructs_exactly(spark, toks, max_tokens):
+    import pandas as pd
+
+    from dataquality_box_spark.operators.curation import split_long_docs
+
+    overlap = max_tokens // 2
+    stride = max_tokens - overlap
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [" ".join(toks)]})
+    )
+    chunks = sorted(
+        split_long_docs(df, max_tokens=max_tokens, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # dropping each chunk's leading `overlap` tokens (except the first)
+    # must reconstruct the doc exactly — no token lost or duplicated
+    rebuilt = list(chunks[0]["chunk_text"].split())
+    for c in chunks[1:]:
+        rebuilt.extend(c["chunk_text"].split()[overlap:])
+    assert rebuilt == toks
+    # every chunk starts where stride arithmetic says it does
+    for c in chunks:
+        start = c["chunk_idx"] * stride
+        assert c["chunk_text"].split() == toks[start : start + max_tokens]

@@ -330,3 +330,76 @@ def write_time_ordered_buckets(
             os.utime(dst, (1_000_000 + b * 1000, 1_000_000 + b * 1000))
         shutil.rmtree(part_dir, ignore_errors=True)
     return out_dir
+
+
+SFT_OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx int, n_context_turns int, "
+    "context_text string, response_text string"
+)
+SFT_STATE_SCHEMA = "ctx string, n long"
+
+
+def make_sft_extractor(response_role: str = "assistant"):
+    """Stateful streaming twin of conversation.sft_examples: per-conv
+    state carries the running context (joined "role: text" lines + turn
+    count), so each arriving ``response_role`` turn emits its training
+    example the moment it lands — examples stream out incrementally
+    instead of waiting for conversation end.
+
+    Arrival-order contract: turns arrive in turn_idx order per conv
+    across micro-batches (same contract as flag_turns_with_state;
+    compose the watermark reorder buffer upstream for out-of-order
+    sources). State grows with conversation length — identical to the
+    batch operator's per-row context cost, bounded by the max
+    conversation, not the stream.
+    """
+
+    def extract(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "turn_idx", kind="mergesort"
+        )
+        ctx, n = state.get if state.exists else ("", 0)
+        lines = (pdf["role"].astype(str) + ": " + pdf["text"].astype(str)).tolist()
+        out = []
+        for i, (role, tidx, text) in enumerate(
+            zip(pdf["role"], pdf["turn_idx"], pdf["text"])
+        ):
+            if role != response_role:
+                continue
+            batch_ctx = "\n".join(lines[:i])
+            full_ctx = (
+                ctx + "\n" + batch_ctx if (ctx and batch_ctx) else ctx or batch_ctx
+            )
+            out.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": int(tidx),
+                    "n_context_turns": int(n + i),
+                    "context_text": full_ctx,
+                    "response_text": str(text),
+                }
+            )
+        all_lines = "\n".join(lines)
+        new_ctx = ctx + "\n" + all_lines if (ctx and all_lines) else ctx or all_lines
+        state.update((new_ctx, n + len(pdf)))
+        if out:
+            yield pd.DataFrame(out)
+
+    return extract
+
+
+def sft_examples_stream(
+    turns_stream: DataFrame, response_role: str = "assistant"
+) -> DataFrame:
+    """Apply the streaming SFT extractor (needs conv_id, turn_idx, role,
+    text columns)."""
+    return turns_stream.groupBy("conv_id").applyInPandasWithState(
+        make_sft_extractor(response_role),
+        outputStructType=SFT_OUTPUT_SCHEMA,
+        stateStructType=SFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -470,3 +470,61 @@ def test_reorder_buffer_state_shrinks_after_each_emission(spark):
         total_out += e
         assert total_out + len(buf) == n
     assert sizes[-1] == 0 and total_out == n
+
+
+def test_sft_examples_stream_matches_batch(spark, tmp_path):
+    """Streaming SFT extraction == batch sft_examples, with
+    conversations straddling micro-batch boundaries."""
+    import pandas as pd
+
+    from dataquality_box_spark.operators.conversation import sft_examples
+    from dataquality_box_spark.streaming.stateful import (
+        sft_examples_stream,
+        write_time_ordered_buckets,
+    )
+    from dataquality_box_spark.streaming.stream import run_stream_to_memory
+
+    rows = []
+    seq = {
+        "conv_a": ["user", "assistant", "tool", "assistant", "user"],
+        "conv_b": ["assistant", "user", "assistant", "tool", "assistant"],
+    }
+    i = 0
+    for k in range(5):
+        for conv in ("conv_a", "conv_b"):
+            rows.append(
+                {
+                    "conv_id": conv,
+                    "turn_idx": k,
+                    "role": seq[conv][k],
+                    "text": f"msg {conv} {k}",
+                    "ts": pd.Timestamp("2026-01-01", tz="UTC")
+                    + pd.Timedelta(minutes=i),
+                    "event_id": i,
+                }
+            )
+            i += 1
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    d = str(tmp_path / "sft_in")
+    write_time_ordered_buckets(df, d, n_buckets=4, order_cols=("ts", "event_id"))
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in run_stream_to_memory(
+            spark, sft_examples_stream(stream), "stream_sft"
+        ).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in sft_examples(df.select("conv_id", "turn_idx", "role", "text")).collect()
+    }
+    assert set(got) == set(want) and len(want) == 5
+    for k in want:
+        assert got[k]["context_text"] == want[k]["context_text"], k
+        assert got[k]["response_text"] == want[k]["response_text"]
+        assert got[k]["n_context_turns"] == want[k]["n_context_turns"]
+    # first-turn generation (conv_b turn 0) has empty context
+    assert got[("conv_b", 0)]["context_text"] == ""

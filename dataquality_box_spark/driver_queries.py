@@ -3237,12 +3237,13 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import ngram_array, tokens
+    from .functions.text import ngram_explode, tokens
 
     d = _tbl(spark, sf_dir, "documents")
     # occurrence counts here, so no distinct — unlike shingle_sets
-    shingles = ngram_array(tokens(F.col("text")), 3)
-    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sh = ngram_explode(
+        d, ["doc_id"], tokens(F.col("text")), 3, gram_col="shingle"
+    )
     return (
         sh.groupBy("shingle")
         .agg(
@@ -3574,7 +3575,7 @@ def curation_funnel_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import ngram_array, tokens
+    from .functions.text import ngram_explode, tokens
 
     d = _tbl(spark, sf_dir, "documents")
     tk = tokens(F.col("text"))
@@ -3585,9 +3586,8 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def top_frac(n: int, alias: str) -> DataFrame:
-        grams = ngram_array(tk, n)
         per_gram = (
-            d.select("doc_id", F.explode(grams).alias("g"))
+            ngram_explode(d, ["doc_id"], tk, n)
             .groupBy("doc_id", "g")
             .agg(F.count("*").alias("c"))
         )
@@ -4040,13 +4040,11 @@ def quality_tertile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import ngram_array, tokens
+    from .functions.text import ngram_explode, tokens
     from .operators.curation import dsir_logratio_weights
 
     d = _tbl(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(ngram_array(tokens(F.col("text")), 2)).alias("g")
-    )
+    grams = ngram_explode(d, ["doc_id"], tokens(F.col("text")), 2)
     tgt = grams.where(F.col("doc_id") % 41 == 0)
     cg = grams.where(F.col("doc_id") % 41 != 0)
     return dsir_logratio_weights(cg, tgt, n_buckets=64, salt="ds0")
@@ -4092,13 +4090,12 @@ def _span_windows_sql() -> str:
     """,
 )
 def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import ngram_array, tokens
+    from .functions.text import ngram_explode, tokens
     from .operators.dedup import shared_hash_fraction
 
     d = _tbl(spark, sf_dir, "documents")
-    spans = ngram_array(tokens(F.col("text")), _SPAN_N)
     w = (
-        d.select("doc_id", F.explode(spans).alias("g"))
+        ngram_explode(d, ["doc_id"], tokens(F.col("text")), _SPAN_N)
         .select("doc_id", F.md5(F.col("g").cast("binary")).alias("h"))
         .distinct()
     )
@@ -4215,7 +4212,7 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.scoring import detect_lang_udf
-    from .functions.text import ngram_array, tokens
+    from .functions.text import ngram_explode, tokens
     from .operators.dedup import shared_hash_fraction
 
     d = _tbl(spark, sf_dir, "documents")
@@ -4234,10 +4231,11 @@ def doc_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_token_frac"),
         detect_lang_udf(F.col("text")).alias("lang_guess"),
     )
-    spans = d.select(
-        "doc_id",
-        F.explode(ngram_array(tk, _SPAN_N)).alias("g"),
-    ).select("doc_id", F.md5(F.col("g").cast("binary")).alias("h")).distinct()
+    spans = (
+        ngram_explode(d, ["doc_id"], tk, _SPAN_N)
+        .select("doc_id", F.md5(F.col("g").cast("binary")).alias("h"))
+        .distinct()
+    )
     span = shared_hash_fraction(spans, "doc_id").select(
         "doc_id", F.col("shared_frac").alias("__dsf")
     )

@@ -13,7 +13,9 @@ Java's ``\\s`` is ASCII-only while Python's is Unicode-aware.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import BOILERPLATE_PREFIXES, TOXICITY_WORDS, QualityConfig
@@ -41,7 +43,16 @@ def ngram_array(toks: Column, n: int) -> Column:
     F.sequence(1, 0) yields the DESCENDING [1, 0], not an empty array,
     and element_at(toks, 0) then throws — token arrays shorter than n
     must short-circuit to an empty gram list (SQL range() does this
-    naturally)."""
+    naturally).
+
+    PERF: the returned expression is a higher-order ``transform`` whose
+    lambda is INTERPRETED per element through a shared
+    NamedLambdaVariable — measured 22x slower than codegen at local[32]
+    (lock contention across task threads). Every corpus-sized consumer
+    should use ``ngram_explode`` below (explode positions +
+    element_at concat, fully codegen); keep this array form only where
+    the array itself is required per row.
+    """
     idxs = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -50,6 +61,42 @@ def ngram_array(toks: Column, n: int) -> Column:
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
         ),
+    )
+
+
+def ngram_explode(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    toks: Column,
+    n: int,
+    gram_col: str = "g",
+    pos_col: str | None = None,
+) -> DataFrame:
+    """One row per word n-gram: (id_cols..., [pos_col,] gram_col) — the
+    codegen-side replacement for ``F.explode(ngram_array(...))``.
+
+    Explodes POSITIONS and builds each gram with element_at + concat_ws
+    (whole-stage codegen) instead of materializing a gram array through
+    an interpreted transform() lambda: measured 19.7s -> 0.9s for the
+    same 256k grams at local[32] (NamedLambdaVariable contention grows
+    with thread count, so the gap widens exactly where scale lives).
+
+    Same short-doc semantics as ngram_array: fewer than n tokens ->
+    no rows. pos_col (0-based gram position) is emitted only if named.
+    """
+    out_pos = [(F.col("__i") - 1).cast("int").alias(pos_col)] if pos_col else []
+    gram = F.concat_ws(
+        " ", *[F.element_at("__tk", (F.col("__i") + k).cast("int")) for k in range(n)]
+    )
+    return (
+        df.select(*id_cols, toks.alias("__tk"))
+        .where(F.size("__tk") >= n)
+        .select(
+            *id_cols,
+            F.explode(F.sequence(F.lit(1), F.size("__tk") - (n - 1))).alias("__i"),
+            "__tk",
+        )
+        .select(*id_cols, *out_pos, gram.alias(gram_col))
     )
 
 

@@ -163,13 +163,10 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
 
     Returns (doc_id, n_shingles INT, n_novel INT, novelty DOUBLE r6).
     """
-    from ..functions.text import ngram_array, tokens
+    from ..functions.text import ngram_explode, tokens
 
     sh = (
-        docs.select(
-            "doc_id",
-            F.explode(ngram_array(tokens(F.col("text")), n)).alias("g"),
-        )
+        ngram_explode(docs, ["doc_id"], tokens(F.col("text")), n)
         .select("doc_id", F.md5(F.col("g")).alias("h"))
         .distinct()
     )
@@ -295,15 +292,11 @@ def chunk_dedup_rewrite(docs: DataFrame, chunk_tokens: int = 16) -> DataFrame:
 def _winnow_selected(docs: DataFrame, k: int, w: int) -> DataFrame:
     """(doc_id, m, win_min) rows: each full w-window's minimum 4-gram
     hash, one row per window start (duplicates collapse downstream)."""
-    from ..functions.text import ngram_array
+    from ..functions.text import ngram_explode
 
-    toks = tokens(F.col("text"))
-    grams = (
-        docs.select("doc_id", ngram_array(toks, k).alias("gs"))
-        .where(F.size("gs") >= w)
-        .select("doc_id", F.posexplode("gs").alias("pos", "g"))
-        .select("doc_id", "pos", F.md5(F.col("g")).alias("h"))
-    )
+    grams = ngram_explode(
+        docs, ["doc_id"], tokens(F.col("text")), k, pos_col="pos"
+    ).select("doc_id", "pos", F.md5(F.col("g")).alias("h"))
     frame = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

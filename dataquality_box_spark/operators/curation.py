@@ -200,7 +200,7 @@ def dsir_logratio_weights(
     doc by how target-like its hashed n-gram bag is.
 
     Inputs are (id, g) frames with one row per gram OCCURRENCE (build
-    with functions.text.ngram_array + explode). Each gram hashes to one
+    with functions.text.ngram_explode). Each gram hashes to one
     of ``n_buckets`` buckets (md5, same expression as the sampling
     gates); bucket unigram/bigram probabilities are estimated with
     add-one smoothing on each side, and

@@ -69,8 +69,10 @@ def self_repetition(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     UDF. Returns flagged turns only: (conv_id, turn_idx, role,
     jacc_prev DOUBLE round 6, near_repeat INT).
     """
+    # array_remove, not filter(lambda): HOF lambdas are interpreted via a
+    # shared NamedLambdaVariable and serialize across task threads
     toks = F.array_distinct(
-        F.filter(F.split(F.col("text"), "[ \t\n\r]+"), lambda x: x != "")
+        F.array_remove(F.split(F.col("text"), "[ \t\n\r]+"), "")
     )
     w = Window.partitionBy("conv_id", "role").orderBy("turn_idx")
     t = df.select("conv_id", "turn_idx", "role", toks.alias("toks")).withColumn(
@@ -196,7 +198,7 @@ def role_token_share(
     INT, user_toks INT, assistant_share DOUBLE round 6, degenerate INT).
     """
     n_toks = F.size(
-        F.filter(F.split(F.col("text"), "[ \t\n\r]+"), lambda x: x != "")
+        F.array_remove(F.split(F.col("text"), "[ \t\n\r]+"), "")
     )
     per_turn = df.select("conv_id", "role", n_toks.alias("n_toks"))
     share = F.round(

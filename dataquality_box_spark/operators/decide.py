@@ -39,7 +39,10 @@ def with_decision(df: DataFrame, cfg: QualityConfig, flag_cols: dict[str, str]) 
     fired = F.array(
         *[F.when(F.col(flag_cols[r]), F.lit(r)) for r in reasons]
     )
-    drop_reasons = F.filter(fired, lambda x: x.isNotNull())
+    # array_compact, not filter(lambda x: x.isNotNull()): this runs on
+    # every turn of the flagship pipeline, and interpreted HOF lambdas
+    # serialize across task threads (NamedLambdaVariable contention)
+    drop_reasons = F.array_compact(fired)
     dropping = set(cfg.dropping_reasons)
     drop_flags = [F.col(flag_cols[r]) for r in reasons if r in dropping]
     keep = ~F.greatest(*drop_flags, F.lit(False)) if drop_flags else F.lit(True)

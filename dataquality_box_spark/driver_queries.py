@@ -4960,9 +4960,7 @@ def lm_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Naive-Bayes quality classifier (operators/classifier.py): train on
 # doc_id%3!=0 with a deterministic integer-compare label (2*distinct >=
 # total tokens), score the held-out third. Same micro-nat discipline.
-@_q(
-    "nb_classifier_scores",
-    f"""
+_NB_SCORES_SQL = f"""
     WITH tt AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
     lab AS (SELECT doc_id, tk,
                    CASE WHEN 2 * len(list_distinct(tk)) >= len(tk)
@@ -5003,12 +5001,57 @@ def lm_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS micro_logodds,
            CAST(pr.prior + COALESCE(agg.tok_odds, 0) > 0 AS INT) AS pred_keep
     FROM sc LEFT JOIN agg USING (doc_id) CROSS JOIN pr
-    """,
+    """
+
+
+@_q(
+    "nb_classifier_scores",
+    _NB_SCORES_SQL,
 )
 def nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.classifier import nb_train_score
 
     return nb_train_score(_tbl(spark, sf_dir, "documents"), holdout_mod=3)
+
+
+# --- classifier evaluation (classifier.nb_eval): held-out confusion
+# counts + precision/recall/F1 in integer ppm, the shipping decision for
+# the trained filter. Oracle composes the shared NB scores fragment.
+@_q(
+    "nb_classifier_eval",
+    f"""
+    WITH sc AS ({_NB_SCORES_SQL}),
+    tt2 AS (SELECT doc_id, {_TOKENS} AS tk FROM documents
+            WHERE doc_id % 3 = 0),
+    truth AS (SELECT doc_id,
+                     CASE WHEN 2 * len(list_distinct(tk)) >= len(tk)
+                          THEN 1 ELSE 0 END AS y
+              FROM tt2),
+    conf AS (SELECT
+               SUM(CASE WHEN pred_keep = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN pred_keep = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN pred_keep = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+               SUM(CASE WHEN pred_keep = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn
+             FROM sc JOIN truth USING (doc_id))
+    SELECT CAST(tp + fp + fn + tn AS INT) AS n_eval,
+           CAST(tp AS INT) AS tp, CAST(fp AS INT) AS fp,
+           CAST(fn AS INT) AS fn, CAST(tn AS INT) AS tn,
+           CAST(CASE WHEN tp + fp > 0
+                THEN (tp * 1000000) // (tp + fp) ELSE 0 END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN tp + fn > 0
+                THEN (tp * 1000000) // (tp + fn) ELSE 0 END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN 2 * tp + fp + fn > 0
+                THEN (2 * tp * 1000000) // (2 * tp + fp + fn)
+                ELSE 0 END AS BIGINT) AS f1_ppm
+    FROM conf
+    """,
+)
+def nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classifier import nb_eval
+
+    return nb_eval(_tbl(spark, sf_dir, "documents"), holdout_mod=3)
 
 
 # --- C4-style duplicate-chunk REMOVAL (operators/corpus.py): the

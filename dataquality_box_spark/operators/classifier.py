@@ -137,3 +137,65 @@ def nb_train_score(
             ).cast("int").alias("pred_keep"),
         )
     )
+
+
+def nb_eval(
+    docs: DataFrame,
+    label: Column | None = None,
+    holdout_mod: int = 3,
+) -> DataFrame:
+    """Close the classifier loop: evaluate nb_train_score's held-out
+    predictions against the true labels — confusion counts plus
+    precision/recall/F1 in integer ppm (engine-exact; thresholds on the
+    report are what decide whether the trained filter ships).
+
+    Returns ONE row: (n_eval INT, tp INT, fp INT, fn INT, tn INT,
+    precision_ppm BIGINT, recall_ppm BIGINT, f1_ppm BIGINT); empty
+    denominators report 0 rather than NULL.
+    """
+    if label is None:
+        label = ttr_label()
+    scored = nb_train_score(docs, label, holdout_mod)
+    truth = docs.select("doc_id", "text").where(
+        F.col("doc_id") % holdout_mod == 0
+    ).select("doc_id", label.alias("y"))
+    j = scored.join(truth, "doc_id")
+
+    def n(cond: Column) -> Column:
+        return F.sum(cond.cast("long"))
+
+    conf = j.agg(
+        n((F.col("pred_keep") == 1) & (F.col("y") == 1)).alias("tp"),
+        n((F.col("pred_keep") == 1) & (F.col("y") == 0)).alias("fp"),
+        n((F.col("pred_keep") == 0) & (F.col("y") == 1)).alias("fn"),
+        n((F.col("pred_keep") == 0) & (F.col("y") == 0)).alias("tn"),
+    )
+
+    def ppm(num: Column, den: Column, alias: str) -> Column:
+        return (
+            F.when(den > 0, F.expr(f"({alias}_num * 1000000) div {alias}_den"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias(f"{alias}_ppm")
+        )
+
+    staged = conf.select(
+        "tp", "fp", "fn", "tn",
+        (F.col("tp")).alias("precision_num"),
+        (F.col("tp") + F.col("fp")).alias("precision_den"),
+        (F.col("tp")).alias("recall_num"),
+        (F.col("tp") + F.col("fn")).alias("recall_den"),
+        (2 * F.col("tp")).alias("f1_num"),
+        (2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1_den"),
+    )
+    return staged.select(
+        (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
+        .cast("int")
+        .alias("n_eval"),
+        F.col("tp").cast("int").alias("tp"),
+        F.col("fp").cast("int").alias("fp"),
+        F.col("fn").cast("int").alias("fn"),
+        F.col("tn").cast("int").alias("tn"),
+        ppm(F.col("precision_num"), F.col("precision_den"), "precision"),
+        ppm(F.col("recall_num"), F.col("recall_den"), "recall"),
+        ppm(F.col("f1_num"), F.col("f1_den"), "f1"),
+    )

@@ -98,3 +98,18 @@ def test_nb_empty_train_slice_raises(spark):
     pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "c d"]})
     with pytest.raises(ValueError, match="train slice"):
         nb_train_score(spark.createDataFrame(pdf), holdout_mod=1)
+
+
+def test_nb_eval_confusion_and_ppm(spark):
+    from dataquality_box_spark.operators.classifier import nb_eval
+
+    # same corpus as the hand-computed scoring test: held-out docs 0,3
+    # doc0 label: "x p" -> 2 distinct / 2 total -> y=1; pred 0 -> FN
+    # doc3 label: "p p q q" -> 2*2 >= 4 -> y=1; pred 1 -> TP
+    texts = ["x p", "x x x", "p q", "p p q q"]
+    r = nb_eval(_docs(spark, texts), holdout_mod=3).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 0, 1, 0)
+    assert r["n_eval"] == 2
+    assert r["precision_ppm"] == 1_000_000  # 1/(1+0)
+    assert r["recall_ppm"] == 500_000       # 1/(1+1)
+    assert r["f1_ppm"] == 2 * 1_000_000 // 3

@@ -402,3 +402,69 @@ def winnow_overlap_pairs(
             F.col("n_fp_b").cast("int").alias("n_fp_b"),
         )
     )
+
+
+def persist_winnow_index(
+    spark,
+    io,
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 3,
+    prefix: str = "winnow_corpus",
+    n_buckets: int = 16,
+) -> None:
+    """Persist the corpus's winnowing-fingerprint index through TableIO:
+    ``{prefix}_fps`` (doc_id, fingerprint) — the exact-substring analog
+    of the stored MinHash index (dedup.persist_corpus_index), holding
+    ~1/w of the shingle volume by the winnowing density bound.
+
+    Partition-bounded MERGE keyed on doc_id: a recrawl batch rewrites
+    only the crc32 bucket partitions its doc ids touch, and a
+    re-delivered doc's fingerprints are replaced WHOLESALE (stale rows
+    from a changed doc would inflate n_shared). The SAME call creates
+    and grows the index.
+    """
+    from ..sources.merge import merge_upsert_bucketed
+
+    merge_upsert_bucketed(
+        spark,
+        io,
+        winnow_fingerprint_set(docs, k, w),
+        f"{prefix}_fps",
+        keys=["doc_id"],
+        n_buckets=n_buckets,
+    )
+
+
+def winnow_overlap_stored(
+    spark,
+    io,
+    new_docs: DataFrame,
+    k: int = 4,
+    w: int = 3,
+    min_shared: int = 1,
+    prefix: str = "winnow_corpus",
+) -> DataFrame:
+    """Recrawl overlap against the PERSISTED fingerprint index: only the
+    new batch is tokenized/fingerprinted; the corpus source is scanned
+    zero times (plan-asserted in tests). Self-pairs from re-delivered
+    ids are excluded. Returns (doc_a = new id, doc_b = corpus id,
+    n_shared INT) for pairs sharing >= min_shared fingerprints —
+    candidate work is Sum over fingerprints of |new_fp| * |corpus_fp|,
+    the same bucket bound as the inline winnow_overlap_pairs.
+    """
+    from ..sources.merge import read_merged
+
+    nf = winnow_fingerprint_set(new_docs, k, w).withColumnsRenamed(
+        {"doc_id": "doc_a", "fingerprint": "fp"}
+    )
+    cf = read_merged(spark, io, f"{prefix}_fps").select(
+        F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp")
+    )
+    return (
+        nf.join(cf, "fp")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

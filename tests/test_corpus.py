@@ -223,3 +223,58 @@ def test_winnow_overlap_pairs_counts(spark):
     assert (r["doc_a"], r["doc_b"]) == (0, 0)
     assert r["n_shared"] >= 1
     assert r["n_fp_a"] >= r["n_shared"] and r["n_fp_b"] >= r["n_shared"]
+
+
+def test_stored_winnow_index_recrawl_never_scans_corpus(spark, tmp_path):
+    """Persist the fingerprint index once; a recrawl batch probes the
+    STORED table only: (a) pairs match the inline route, (b) the probe
+    plan reads zero corpus files, (c) re-delivered docs replace their
+    fingerprints wholesale."""
+    from pyspark.sql import functions as F
+
+    from dataquality_box_spark.operators.corpus import (
+        persist_winnow_index,
+        winnow_overlap_pairs,
+        winnow_overlap_stored,
+    )
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    shared = "p q r s t u v w"
+    corpus_rows = [
+        (11, shared + " c1 c2 c3"),
+        (12, "d1 d2 d3 d4 d5 d6 d7 d8"),
+    ]
+    corpus_path = str(tmp_path / "corpus_docs")
+    spark.createDataFrame(corpus_rows, "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    corpus = spark.read.parquet(corpus_path)
+    io = TableIO(str(tmp_path / "widx"))
+    persist_winnow_index(spark, io, corpus)
+
+    new = spark.createDataFrame(
+        [(0, "a0 b0 " + shared)], "doc_id long, text string"
+    )
+    result = winnow_overlap_stored(spark, io, new, min_shared=1)
+    files = result.inputFiles()
+    assert files and not any("corpus_docs" in f for f in files)
+    assert any("winnow_corpus_fps" in f for f in files)
+
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in result.collect()}
+    want = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(new, corpus, min_shared=1).collect()
+    }
+    assert got == want and (0, 11) in got
+
+    # re-deliver doc 11 with entirely new text: old fingerprints must
+    # vanish (wholesale replace), so the probe no longer pairs with it
+    changed = spark.createDataFrame(
+        [(11, "z1 z2 z3 z4 z5 z6 z7 z8")], "doc_id long, text string"
+    )
+    persist_winnow_index(spark, io, changed)
+    got2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_overlap_stored(spark, io, new, min_shared=1).collect()
+    }
+    assert (0, 11) not in got2

@@ -5275,7 +5275,8 @@ def mixture_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
     c AS (SELECT conv_id, turn_idx, role, text,
-                 COALESCE(string_agg(role || ': ' || text, chr(10))
+                 COALESCE(string_agg(role || ': ' || COALESCE(text, ''),
+                                     chr(10))
                           OVER (PARTITION BY conv_id ORDER BY turn_idx
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND 1 PRECEDING), '')
@@ -5285,7 +5286,7 @@ def mixture_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          AND 1 PRECEDING) AS nct
           FROM t)
     SELECT conv_id, turn_idx, CAST(nct AS INT) AS n_context_turns,
-           context_text, text AS response_text
+           context_text, COALESCE(text, '') AS response_text
     FROM c WHERE role = 'assistant'
     """,
 )

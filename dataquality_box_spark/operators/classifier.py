@@ -89,29 +89,33 @@ def nb_train_score(
 
     # loud guard: an empty train slice (or one with no tokens) would
     # make (c+1)/(n_c+V) a division by zero -> silent NULL log-odds
-    # under ANSI-off; fail at train time instead
+    # under ANSI-off; fail at train time instead. The collected row then
+    # feeds the scoring expressions as LITERALS — the train aggregation
+    # runs exactly once, not once per downstream consumer (the previous
+    # crossJoin(totals) re-aggregated the train slice in the final plan)
     tot_row = totals.collect()[0]
     if tot_row["docs"] == 0 or (tot_row["vs"] or 0) == 0:
         raise ValueError(
             f"NB train slice doc_id % {holdout_mod} != 0 is empty or has "
             "no tokens; scores would be NULL for every held-out doc"
         )
+    docs_k, docs_d, n_docs = tot_row["docs_k"], tot_row["docs_d"], tot_row["docs"]
+    nk, nd, vs = tot_row["nk"], tot_row["nd"], tot_row["vs"]
 
     def micro_ln(x: Column) -> Column:
         return F.round(F.log(x) * MICRO, 0).cast("long")
 
     term = micro_ln(
         (F.coalesce(F.col("ck"), F.lit(0)) + 1)
-        / (F.col("nk") + F.col("vs")).cast("double")
+        / F.lit(float(nk + vs))
     ) - micro_ln(
         (F.coalesce(F.col("cd"), F.lit(0)) + 1)
-        / (F.col("nd") + F.col("vs")).cast("double")
+        / F.lit(float(nd + vs))
     )
     tok_sc = (
         score.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .select("doc_id", F.md5(F.col("tok")).alias("ht"))
         .join(F.broadcast(wc), "ht", "left")
-        .crossJoin(F.broadcast(totals))
         .select("doc_id", term.alias("term"))
         .groupBy("doc_id")
         .agg(
@@ -119,13 +123,16 @@ def nb_train_score(
             F.sum("term").alias("tok_odds"),
         )
     )
-    prior = micro_ln(
-        (F.col("docs_k") + 1) / (F.col("docs") + 2).cast("double")
-    ) - micro_ln((F.col("docs_d") + 1) / (F.col("docs") + 2).cast("double"))
+    # priors as plain Python micro-nats (same rounding as micro_ln)
+    import math
+
+    prior = F.lit(
+        round(math.log((docs_k + 1) / (n_docs + 2)) * MICRO)
+        - round(math.log((docs_d + 1) / (n_docs + 2)) * MICRO)
+    ).cast("long")
     return (
         score.select("doc_id")
         .join(tok_sc, "doc_id", "left")
-        .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
             F.coalesce(F.col("n_toks"), F.lit(0)).cast("int").alias("n_toks"),
@@ -162,7 +169,9 @@ def nb_eval(
     j = scored.join(truth, "doc_id")
 
     def n(cond: Column) -> Column:
-        return F.sum(cond.cast("long"))
+        # coalesce: an EMPTY held-out slice makes SUM() NULL — the report
+        # must say 0, not None (docstring contract)
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0).cast("long"))
 
     conf = j.agg(
         n((F.col("pred_keep") == 1) & (F.col("y") == 1)).alias("tp"),
@@ -171,31 +180,20 @@ def nb_eval(
         n((F.col("pred_keep") == 0) & (F.col("y") == 0)).alias("tn"),
     )
 
-    def ppm(num: Column, den: Column, alias: str) -> Column:
-        return (
-            F.when(den > 0, F.expr(f"({alias}_num * 1000000) div {alias}_den"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias(f"{alias}_ppm")
-        )
+    def ppm(num: Column, den: Column) -> Column:
+        # try_divide is float; integer ppm needs div, gated on den > 0
+        return F.when(
+            den > 0, (num * 1_000_000 - (num * 1_000_000) % den) / den
+        ).otherwise(F.lit(0)).cast("long")
 
-    staged = conf.select(
-        "tp", "fp", "fn", "tn",
-        (F.col("tp")).alias("precision_num"),
-        (F.col("tp") + F.col("fp")).alias("precision_den"),
-        (F.col("tp")).alias("recall_num"),
-        (F.col("tp") + F.col("fn")).alias("recall_den"),
-        (2 * F.col("tp")).alias("f1_num"),
-        (2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1_den"),
-    )
-    return staged.select(
-        (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
-        .cast("int")
-        .alias("n_eval"),
-        F.col("tp").cast("int").alias("tp"),
-        F.col("fp").cast("int").alias("fp"),
-        F.col("fn").cast("int").alias("fn"),
-        F.col("tn").cast("int").alias("tn"),
-        ppm(F.col("precision_num"), F.col("precision_den"), "precision"),
-        ppm(F.col("recall_num"), F.col("recall_den"), "recall"),
-        ppm(F.col("f1_num"), F.col("f1_den"), "f1"),
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return conf.select(
+        (tp + fp + fn + tn).cast("int").alias("n_eval"),
+        tp.cast("int").alias("tp"),
+        fp.cast("int").alias("fp"),
+        fn.cast("int").alias("fn"),
+        tn.cast("int").alias("tn"),
+        ppm(tp, tp + fp).alias("precision_ppm"),
+        ppm(tp, tp + fn).alias("recall_ppm"),
+        ppm(2 * tp, 2 * tp + fp + fn).alias("f1_ppm"),
     )

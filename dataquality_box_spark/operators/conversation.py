@@ -270,7 +270,13 @@ def sft_examples(
         .orderBy("turn_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    line = F.concat_ws(": ", F.col("role"), F.col("text"))
+    # NULL text coalesces to '' so all three surfaces agree: concat_ws
+    # would silently DROP a null operand here (shorter line), SQL
+    # string_agg would drop the whole line, and the streaming twin's
+    # pandas str() would render 'None' — three different contexts for
+    # the same conversation
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    line = F.concat_ws(": ", F.col("role"), txt)
     return (
         transcripts.withColumn("__ctx", F.collect_list(line).over(w))
         .where(F.col("role") == response_role)
@@ -279,6 +285,6 @@ def sft_examples(
             "turn_idx",
             F.size("__ctx").cast("int").alias("n_context_turns"),
             F.concat_ws("\n", F.col("__ctx")).alias("context_text"),
-            F.col("text").alias("response_text"),
+            txt.alias("response_text"),
         )
     )

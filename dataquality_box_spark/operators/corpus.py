@@ -421,7 +421,10 @@ def persist_winnow_index(
     Partition-bounded MERGE keyed on doc_id: a recrawl batch rewrites
     only the crc32 bucket partitions its doc ids touch, and a
     re-delivered doc's fingerprints are replaced WHOLESALE (stale rows
-    from a changed doc would inflate n_shared). The SAME call creates
+    from a changed doc would inflate n_shared) — including the
+    shrink-to-zero case: the replace set is the batch's doc ids, not the
+    fingerprint rows, so a recrawled doc now too short to yield any
+    fingerprint still has its old rows deleted. The SAME call creates
     and grows the index.
     """
     from ..sources.merge import merge_upsert_bucketed
@@ -433,6 +436,7 @@ def persist_winnow_index(
         f"{prefix}_fps",
         keys=["doc_id"],
         n_buckets=n_buckets,
+        replace_keys=docs.select("doc_id").distinct(),
     )
 
 
@@ -458,6 +462,16 @@ def winnow_overlap_stored(
     nf = winnow_fingerprint_set(new_docs, k, w).withColumnsRenamed(
         {"doc_id": "doc_a", "fingerprint": "fp"}
     )
+    # a fully-emptied index reads as a missing table (the bucketed MERGE
+    # drops a table whose last partition was deleted) — probe -> empty
+    if not io.table_exists(spark, f"{prefix}_fps"):
+        return (
+            nf.select(
+                F.col("doc_a"),
+                F.col("doc_a").alias("doc_b"),
+                F.lit(0).cast("int").alias("n_shared"),
+            ).where(F.lit(False))
+        )
     cf = read_merged(spark, io, f"{prefix}_fps").select(
         F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp")
     )

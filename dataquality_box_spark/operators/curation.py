@@ -302,6 +302,10 @@ def mixture_plan(
     if not weights or min(weights.values()) < 0:
         raise ValueError("weights must be non-empty and non-negative")
     w_total = sum(weights.values())
+    if w_total == 0:
+        # div-by-zero would NULL the whole plan under ANSI-off Spark
+        # (and error outright in the DuckDB twin) — fail loudly instead
+        raise ValueError("weights sum to zero; no mixture is defined")
     spark = docs.sparkSession
     w_df = spark.createDataFrame(
         [(s, int(w)) for s, w in sorted(weights.items())], f"{source_col} string, w long"
@@ -318,22 +322,29 @@ def mixture_plan(
         F.coalesce(F.col("tokens_available"), F.lit(0)).alias("tokens_available"),
         F.coalesce(F.col("w"), F.lit(0)).alias("w"),
     )
+    # ONE copy of the target expression; epochs derives from it and
+    # rate is by construction min(1e6, epochs) — three inlined copies
+    # would have to drift in lockstep with the DuckDB twin
     target = F.expr(f"({budget_tokens} * w) div {w_total}")
-    return j.select(
+    staged = j.withColumn("target_tokens", target).withColumn(
+        "epochs_micro",
+        F.when(
+            F.col("tokens_available") > 0,
+            F.expr("(target_tokens * 1000000) div tokens_available"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return staged.select(
         source_col,
         "n_docs",
         "tokens_available",
-        target.alias("target_tokens"),
-        F.when(F.col("tokens_available") > 0,
-               F.least(F.lit(1_000_000),
-                       F.expr(f"(({budget_tokens} * w) div {w_total}) * 1000000 "
-                              "div tokens_available")))
-        .otherwise(F.lit(0)).alias("rate_ppm"),
-        F.when(F.col("tokens_available") > 0,
-               F.expr(f"(({budget_tokens} * w) div {w_total}) * 1000000 "
-                      "div tokens_available"))
-        .otherwise(F.lit(0)).alias("epochs_micro"),
-        (target > F.col("tokens_available")).cast("int").alias("deficit"),
+        "target_tokens",
+        F.least(F.lit(1_000_000).cast("long"), F.col("epochs_micro")).alias(
+            "rate_ppm"
+        ),
+        "epochs_micro",
+        (F.col("target_tokens") > F.col("tokens_available"))
+        .cast("int")
+        .alias("deficit"),
     )
 
 

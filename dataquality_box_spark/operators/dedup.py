@@ -686,6 +686,7 @@ def persist_corpus_index(
     prefix: str = "lsh_corpus",
     hot_tokens: DataFrame | None = None,
     n_buckets: int = 16,
+    batch_ids: DataFrame | None = None,
 ) -> None:
     """Build + persist the corpus's LSH index through TableIO:
 
@@ -715,20 +716,29 @@ def persist_corpus_index(
     Contract: ``toks`` must already be DF-capped with the population whose
     hot list is persisted alongside (pass both from one ``token_sets`` /
     ``hot_token_list`` computation).
+
+    ``batch_ids`` (one id column) widens the wholesale-replace set beyond
+    the ids present in ``toks``: a recrawled doc whose tokens were ALL
+    DF-capped away (or whose text emptied) has zero rows in toks, so
+    without batch_ids its stale index rows would survive and keep
+    matching content that no longer exists. Pass the batch's full id
+    frame whenever re-delivery can shrink a doc to zero tokens.
     """
     from ..sources.merge import merge_upsert_bucketed
 
     sig = minhash_band_signatures(toks, id_col)
     merge_upsert_bucketed(
         spark, io, band_buckets(sig, id_col), f"{prefix}_buckets",
-        keys=[id_col], n_buckets=n_buckets,
+        keys=[id_col], n_buckets=n_buckets, replace_keys=batch_ids,
     )
     merge_upsert_bucketed(
-        spark, io, toks, f"{prefix}_tokens", keys=[id_col], n_buckets=n_buckets
+        spark, io, toks, f"{prefix}_tokens", keys=[id_col],
+        n_buckets=n_buckets, replace_keys=batch_ids,
     )
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     merge_upsert_bucketed(
-        spark, io, sizes, f"{prefix}_sizes", keys=[id_col], n_buckets=n_buckets
+        spark, io, sizes, f"{prefix}_sizes", keys=[id_col],
+        n_buckets=n_buckets, replace_keys=batch_ids,
     )
     if hot_tokens is not None:
         merge_upsert_bucketed(

@@ -109,8 +109,12 @@ def lm_perplexity(
     c2, c1, vocab = train_bigram_lm(docs, train_mod)
     # loud guard: an empty reference slice would make every smoothed
     # probability (c2+1)/(c1+vs) a division by zero, which ANSI-off
-    # Spark silently turns into NULL scores — fail at train time instead
-    if (vocab.collect()[0]["vs"] or 0) == 0:
+    # Spark silently turns into NULL scores — fail at train time instead.
+    # The collected count then rides the scoring expression as a LITERAL
+    # (the previous crossJoin(vocab) re-ran the distinct-count agg
+    # inside the returned plan).
+    vs = vocab.collect()[0]["vs"] or 0
+    if vs == 0:
         raise ValueError(
             f"LM reference slice doc_id % {train_mod} == 0 has no tokens; "
             "perplexity would be NULL for every document"
@@ -123,13 +127,12 @@ def lm_perplexity(
         F.md5(F.col("w1")).alias("h1"),
     )
     p = (F.coalesce(F.col("c2"), F.lit(0)) + 1) / (
-        F.coalesce(F.col("c1"), F.lit(0)) + F.col("vs")
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vs)
     ).cast("double")
     term = F.round(F.log(p) * MICRO, 0).cast("long")
     agg = (
         bg.join(c2, "h2", "left")
         .join(c1, "h1", "left")
-        .crossJoin(F.broadcast(vocab))
         .select("doc_id", term.alias("term"))
         .groupBy("doc_id")
         .agg(

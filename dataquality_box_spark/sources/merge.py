@@ -151,6 +151,7 @@ def merge_upsert_bucketed(
     table: str,
     keys: list[str],
     n_buckets: int = 16,
+    replace_keys: DataFrame | None = None,
 ) -> None:
     """Partition-bounded MERGE: the target is partitioned by a crc32
     bucket of the key, and an upsert reads + rewrites ONLY the bucket
@@ -159,6 +160,14 @@ def merge_upsert_bucketed(
     defect of the plain ``merge_upsert`` rewrite). Untouched partitions'
     files stay byte-identical on disk (asserted in tests).
 
+    ``replace_keys`` (a keys-schema frame) widens the replace set beyond
+    the keys present in ``updates``: every replace_keys key has its
+    existing rows dropped even when updates carries NO rows for it —
+    required by wholesale-replace callers whose per-key row count can
+    shrink to ZERO (a recrawled doc that no longer yields any
+    fingerprint/token rows would otherwise keep its stale rows, since
+    the anti-join below only sees keys that appear in updates).
+
     The updates frame is localCheckpointed: it feeds the touched-bucket
     list, the anti-join and the write, and each would otherwise re-derive
     the caller's lineage. Works in catalog mode too (dynamic partition
@@ -166,7 +175,23 @@ def merge_upsert_bucketed(
     up = updates.withColumn(BUCKET_COL, key_bucket(keys, n_buckets)).localCheckpoint(
         eager=True
     )
-    touched = sorted(r[0] for r in up.select(BUCKET_COL).distinct().collect())
+    if replace_keys is not None:
+        # union with updates' own keys: a key present in updates but
+        # missing from replace_keys would otherwise land in a bucket
+        # whose existing rows were never read — the dynamic partition
+        # overwrite would then silently drop them
+        replace = (
+            replace_keys.select(*keys)
+            .unionByName(up.select(*keys))
+            .distinct()
+            .withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        replace = up.select(*keys, BUCKET_COL).distinct()
+    touched = sorted(
+        r[0] for r in replace.select(BUCKET_COL).distinct().collect()
+    )
     if not touched:
         return
     # existence BEFORE pinning: the pin creates the table dir, which must
@@ -191,7 +216,7 @@ def merge_upsert_bucketed(
             legacy = True
             existing = existing.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
         surviving = existing.join(
-            up.select(*keys).distinct(), on=keys, how="left_anti"
+            replace.select(*keys), on=keys, how="left_anti"
         )
         merged = surviving.unionByName(up, allowMissingColumns=True)
     else:
@@ -204,6 +229,26 @@ def merge_upsert_bucketed(
 
         merged = merged.localCheckpoint(eager=True)
         shutil.rmtree(io._dir(table), ignore_errors=True)
+    if replace_keys is not None:
+        # a replace-only key (zero update rows) can EMPTY a bucket, and
+        # dynamic partition overwrite cannot express "this partition now
+        # has no rows" — an empty write touches nothing and the stale
+        # files would survive. Drop emptied buckets explicitly. Only the
+        # replace_keys path can empty a bucket (without it every touched
+        # bucket contains at least the update rows that defined it).
+        merged = merged.localCheckpoint(eager=True)
+        kept = {r[0] for r in merged.select(BUCKET_COL).distinct().collect()}
+        if exists:
+            for b in touched:
+                if b not in kept:
+                    io.drop_partition(table, BUCKET_COL, b, spark=spark)
+            # a table whose LAST partition was just dropped is a
+            # schema-less directory the reader chokes on — drop it so it
+            # reads as nonexistent (readers already handle absence)
+            if not io.has_any_partition(table, BUCKET_COL, spark=spark):
+                io.drop_table(spark, table)
+        if not kept:
+            return
     if io.catalog:
         if not io.table_exists(spark, table):
             # pin BEFORE data, mirroring the fallback's ordering: create

@@ -364,6 +364,23 @@ class TableIO:
             self._qualified(table) if self.catalog else table
         )
 
+    def has_any_partition(self, table: str, part_col: str, spark=None) -> bool:
+        """True if the partitioned table still holds at least one
+        ``part_col=*`` partition (used by the bucketed MERGE to detect a
+        fully-emptied table, which must be dropped rather than left as a
+        schema-less directory)."""
+        if self.catalog:
+            if spark is None:
+                raise ValueError("catalog mode needs the SparkSession")
+            rows = spark.sql(
+                f"SHOW PARTITIONS {self._qualified(table)}"
+            ).limit(1).collect()
+            return bool(rows)
+        d = self._dir(table)
+        if not os.path.isdir(d):
+            return False
+        return any(e.startswith(f"{part_col}=") for e in os.listdir(d))
+
     def partition_exists(self, table: str, part_col: str, value, spark=None) -> bool:
         if self.catalog:
             if spark is None:

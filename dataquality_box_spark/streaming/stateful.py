@@ -362,10 +362,13 @@ def make_sft_extractor(response_role: str = "assistant"):
             "turn_idx", kind="mergesort"
         )
         ctx, n = state.get if state.exists else ("", 0)
-        lines = (pdf["role"].astype(str) + ": " + pdf["text"].astype(str)).tolist()
+        # NULL text -> '' (matching batch sft_examples' coalesce; str()
+        # of a pandas NaN/None would render 'None'/'nan' in the context)
+        txt = pdf["text"].fillna("").astype(str)
+        lines = (pdf["role"].astype(str) + ": " + txt).tolist()
         out = []
         for i, (role, tidx, text) in enumerate(
-            zip(pdf["role"], pdf["turn_idx"], pdf["text"])
+            zip(pdf["role"], pdf["turn_idx"], txt)
         ):
             if role != response_role:
                 continue

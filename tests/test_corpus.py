@@ -278,3 +278,26 @@ def test_stored_winnow_index_recrawl_never_scans_corpus(spark, tmp_path):
         for r in winnow_overlap_stored(spark, io, new, min_shared=1).collect()
     }
     assert (0, 11) not in got2
+
+
+def test_stored_winnow_index_shrink_to_zero_deletes(spark, tmp_path):
+    """A re-delivered doc too short to yield ANY fingerprint must still
+    have its old index rows deleted (replace_keys path)."""
+    from dataquality_box_spark.operators.corpus import (
+        persist_winnow_index,
+        winnow_overlap_stored,
+    )
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    shared = "p q r s t u v w"
+    io = TableIO(str(tmp_path / "widx2"))
+    corpus = spark.createDataFrame(
+        [(11, shared + " c1 c2")], "doc_id long, text string"
+    )
+    persist_winnow_index(spark, io, corpus)
+    new = spark.createDataFrame([(0, "a0 " + shared)], "doc_id long, text string")
+    assert winnow_overlap_stored(spark, io, new).count() == 1
+    # re-deliver doc 11 shrunk below k+w-1 tokens: zero fingerprints
+    shrunk = spark.createDataFrame([(11, "tiny doc")], "doc_id long, text string")
+    persist_winnow_index(spark, io, shrunk)
+    assert winnow_overlap_stored(spark, io, new).count() == 0

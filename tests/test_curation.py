@@ -323,3 +323,16 @@ def test_cluster_safe_split_keeps_clusters_whole(spark):
         for r in cluster_safe_split(pairs, docs, eval_rate=0.5).collect()
     }
     assert again == {d: out[d]["side"] for d in out}
+
+
+def test_mixture_plan_zero_weight_sum_raises(spark):
+    import pandas as pd
+    import pytest
+
+    from dataquality_box_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "source": ["web"], "text": ["a b"]})
+    )
+    with pytest.raises(ValueError, match="sum to zero"):
+        mixture_plan(docs, {"web": 0, "code": 0}, 10)

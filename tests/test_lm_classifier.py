@@ -113,3 +113,14 @@ def test_nb_eval_confusion_and_ppm(spark):
     assert r["precision_ppm"] == 1_000_000  # 1/(1+0)
     assert r["recall_ppm"] == 500_000       # 1/(1+1)
     assert r["f1_ppm"] == 2 * 1_000_000 // 3
+
+
+def test_nb_eval_empty_holdout_reports_zeros(spark):
+    from dataquality_box_spark.operators.classifier import nb_eval
+
+    # no doc_id is a multiple of 3 -> train non-empty, held-out EMPTY:
+    # the report must be integer zeros, never NULL
+    pdf = pd.DataFrame({"doc_id": [1, 2, 4, 5], "text": ["a b", "c d", "e f", "g h"]})
+    r = nb_eval(spark.createDataFrame(pdf), holdout_mod=3).collect()[0]
+    assert (r["n_eval"], r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 0, 0)
+    assert (r["precision_ppm"], r["recall_ppm"], r["f1_ppm"]) == (0, 0, 0)

@@ -462,3 +462,23 @@ def test_sft_examples_context_assembly(spark):
     assert out[("c1", 3)]["n_context_turns"] == 3
     # first-turn generation: kept with empty context, flagged by count 0
     assert out[("c2", 0)]["context_text"] == "" and out[("c2", 0)]["n_context_turns"] == 0
+
+
+def test_sft_examples_null_text_coalesces(spark):
+    import pandas as pd
+
+    from dataquality_box_spark.operators.conversation import sft_examples
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "turn_idx": [0, 1, 2],
+            "role": ["user", "tool", "assistant"],
+            "text": ["hi", None, "done"],
+        }
+    )
+    out = sft_examples(spark.createDataFrame(pdf)).collect()
+    assert len(out) == 1
+    # the NULL tool turn renders as 'tool: ' and still counts
+    assert out[0]["context_text"] == "user: hi\ntool: "
+    assert out[0]["n_context_turns"] == 2

@@ -294,3 +294,37 @@ def test_catalog_full_lifecycle_no_guards(spark, transcripts_df, cat_io):
     assert len(got) == 1
     q.complete(got[0]["item_id"], ok=True, now=2.0)
     assert q.backlog() == 1
+
+
+def test_catalog_bucketed_merge_replace_keys_shrink_to_zero(spark, cat_io):
+    """Catalog twin of the shrink-to-zero replace: a replace_keys key
+    with ZERO update rows has its existing rows deleted (emptied bucket
+    partition dropped via DDL; fully-emptied table dropped)."""
+    from dataquality_box_spark.sources.merge import (
+        merge_upsert_bucketed,
+        read_merged,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, payload string"
+    )
+    merge_upsert_bucketed(spark, cat_io, rows, "shrnk", keys=["doc_id"], n_buckets=4)
+    assert read_merged(spark, cat_io, "shrnk").count() == 2
+
+    # re-deliver doc 1 with no rows at all: replace_keys-only deletion
+    empty = rows.where(F.lit(False))
+    one_key = spark.createDataFrame([(1,)], "doc_id long")
+    merge_upsert_bucketed(
+        spark, cat_io, empty, "shrnk", keys=["doc_id"], n_buckets=4,
+        replace_keys=one_key,
+    )
+    got = [r["doc_id"] for r in read_merged(spark, cat_io, "shrnk").collect()]
+    assert got == [2]
+
+    # delete the last key too: the table must read as nonexistent
+    two_key = spark.createDataFrame([(2,)], "doc_id long")
+    merge_upsert_bucketed(
+        spark, cat_io, empty, "shrnk", keys=["doc_id"], n_buckets=4,
+        replace_keys=two_key,
+    )
+    assert not cat_io.table_exists(spark, "shrnk")

@@ -5054,6 +5054,47 @@ def nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_eval(_tbl(spark, sf_dir, "documents"), holdout_mod=3)
 
 
+# --- conversation-atomic sequence packing: whole conversations packed
+# into 2048-token context windows (SFT prep — a conversation must never
+# split across training sequences; the doc-level form is
+# pack_token_bins). Same contiguous window-cumsum route.
+@_q(
+    "conv_pack_bins",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    ct AS (SELECT conv_id,
+                  CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens,
+                  CAST(substr(conv_id, 6) AS BIGINT) % 4 AS shard
+           FROM t GROUP BY conv_id),
+    c AS (SELECT shard, conv_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS cb
+          FROM ct)
+    SELECT shard, CAST(FLOOR(cb / 2048) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(conv_id) AS first_doc, MAX(conv_id) AS last_doc
+    FROM c GROUP BY shard, bin_id
+    """,
+)
+def conv_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+    from .operators.curation import pack_bins_contiguous
+
+    t = transcripts_view(spark, sf_dir)
+    ct = t.groupBy("conv_id").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    return pack_bins_contiguous(
+        ct,
+        F.expr("CAST(substr(conv_id, 6) AS BIGINT) % 4"),
+        "conv_id",
+        "n_tokens",
+        budget=2048,
+    )
+
+
 # --- C4-style duplicate-chunk REMOVAL (operators/corpus.py): the
 # transform companion to chunk_dedup_report — rebuild each doc keeping
 # only first-occurrence 16-token chunks ((doc_id, ci) order).

@@ -56,6 +56,7 @@ HEADLINE_QUERIES = (
     "neardup_ann",
     "lm_perplexity_report",
     "chunk_rewrite_dedup",
+    "winnow_fingerprint_report",
 )
 
 

@@ -5095,6 +5095,40 @@ def conv_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- conversation language consistency: per-conv langid mix (a conv
+# flip-flopping between languages is a stitching/contamination artifact
+# the per-turn wrong_language drop can miss when each turn individually
+# clears the bar). Spark side scores through the SAME pandas UDF the
+# pipeline uses; the oracle uses its proven SQL twin (_langid_sql).
+@_q(
+    "conv_lang_consistency",
+    f"""
+    WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+    lg AS (SELECT conv_id, {_langid_sql('text')} AS lg FROM t),
+    per AS (SELECT conv_id, lg, COUNT(*) AS c FROM lg GROUP BY conv_id, lg)
+    SELECT conv_id,
+           CAST(SUM(c) AS INT) AS n_turns,
+           CAST(COUNT(*) AS INT) AS n_langs,
+           CAST((MAX(c) * 1000000) // SUM(c) AS BIGINT) AS top_share_ppm,
+           CAST(COUNT(*) >= 2 AS INT) AS mixed
+    FROM per GROUP BY conv_id
+    """,
+)
+def conv_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_view(spark, sf_dir)
+    per = (
+        t.select("conv_id", detect_lang_udf(F.col("text")).alias("lg"))
+        .groupBy("conv_id", "lg")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("conv_id").agg(
+        F.sum("c").cast("int").alias("n_turns"),
+        F.count("*").cast("int").alias("n_langs"),
+        F.expr("(MAX(c) * 1000000) div SUM(c)").alias("top_share_ppm"),
+        (F.count("*") >= 2).cast("int").alias("mixed"),
+    )
+
+
 # --- C4-style duplicate-chunk REMOVAL (operators/corpus.py): the
 # transform companion to chunk_dedup_report — rebuild each doc keeping
 # only first-occurrence 16-token chunks ((doc_id, ci) order).

@@ -31,6 +31,16 @@ SCRUB_STEPS: tuple[tuple[str, str], ...] = (
 # list for a real lexicon in production).
 TOXICITY_WORDS: tuple[str, ...] = ("frak", "gorram", "shazbot", "smeghead", "belgium")
 
+# English function words for the C4-style stop-word density signal
+# (Raffel et al. 2020 keep pages with >= threshold stop-word coverage;
+# machine-generated keyword soup scores near zero). Single source of
+# truth for both the Spark expression and the DuckDB oracle's IN list.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "is", "are", "was", "be", "it", "that", "this", "with", "for", "as",
+    "by", "from", "not", "have", "has",
+)
+
 # Boilerplate prefixes (reference analog: enum/pattern predicates in
 # plugins/configs/rules/p0_R10_at_status_enum.yaml).
 BOILERPLATE_PREFIXES: tuple[str, ...] = (

@@ -5129,6 +5129,60 @@ def conv_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C4-style stop-word density + terminal punctuation (Raffel et al.
+# 2020 §2.2: keep pages with enough function-word coverage and lines
+# ending in terminal punctuation — keyword soup scores near zero on
+# both). STOPWORDS is the single source for Spark and the oracle.
+def _stopword_in_list() -> str:
+    from .config import STOPWORDS
+
+    return "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@_q(
+    "doc_stopword_punct_report",
+    f"""
+    WITH tt AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents),
+    e AS (SELECT doc_id, unnest(tk) AS tok FROM tt),
+    a AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_toks,
+                 CAST(SUM(CASE WHEN lower(tok) IN {_stopword_in_list()}
+                          THEN 1 ELSE 0 END) AS INT) AS n_stop
+          FROM e GROUP BY doc_id)
+    SELECT a.doc_id, n_toks, n_stop,
+           CAST((n_stop * 1000000) // n_toks AS BIGINT) AS stop_ppm,
+           CAST(regexp_matches(rtrim(tt.text), '[.!?"]$') AS INT)
+             AS ends_terminal
+    FROM a JOIN tt ON a.doc_id = tt.doc_id
+    """,
+)
+def doc_stopword_punct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .config import STOPWORDS
+    from .functions.text import tokens
+
+    d = _tbl(spark, sf_dir, "documents")
+    e = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    a = e.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_toks"),
+        F.sum(F.lower(F.col("tok")).isin(*STOPWORDS).cast("int"))
+        .cast("int")
+        .alias("n_stop"),
+    )
+    ends = d.select(
+        "doc_id",
+        F.rtrim(F.col("text"))
+        .rlike('[.!?"]$')
+        .cast("int")
+        .alias("ends_terminal"),
+    )
+    return a.join(ends, "doc_id").select(
+        "doc_id",
+        "n_toks",
+        "n_stop",
+        F.expr("(n_stop * 1000000) div n_toks").alias("stop_ppm"),
+        "ends_terminal",
+    )
+
+
 # --- C4-style duplicate-chunk REMOVAL (operators/corpus.py): the
 # transform companion to chunk_dedup_report — rebuild each doc keeping
 # only first-occurrence 16-token chunks ((doc_id, ci) order).

@@ -336,3 +336,30 @@ def test_insert_missing_bloomed_saturation_rebuild(spark, tmp_path):
     assert verdict[0]["maybe_seen"] is False
     # replay of the grown filter is idempotent and accepted at original m
     assert insert_missing_bloomed(spark, io, second, "q", ["k"], m=m0, k=k0) == 0
+
+
+def test_bucketed_merge_replace_keys_union_safety(spark, tmp_path):
+    """An update key MISSING from replace_keys must still merge safely:
+    its bucket's existing rows survive (the union guard reads the bucket
+    before the dynamic overwrite rewrites it)."""
+    from dataquality_box_spark.sources.merge import (
+        merge_upsert_bucketed,
+        read_merged,
+    )
+    from dataquality_box_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path / "rk"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "doc_id long, payload string"
+    )
+    merge_upsert_bucketed(spark, io, base, "t", keys=["doc_id"], n_buckets=2)
+
+    # update doc 3 but name only doc 5 in replace_keys: doc 5's rows
+    # are deleted, doc 3 is replaced, everything else survives
+    up = spark.createDataFrame([(3, "NEW")], "doc_id long, payload string")
+    rk = spark.createDataFrame([(5,)], "doc_id long")
+    merge_upsert_bucketed(
+        spark, io, up, "t", keys=["doc_id"], n_buckets=2, replace_keys=rk
+    )
+    got = {r["doc_id"]: r["payload"] for r in read_merged(spark, io, "t").collect()}
+    assert got == {0: "v0", 1: "v1", 2: "v2", 3: "NEW", 4: "v4", 6: "v6", 7: "v7"}

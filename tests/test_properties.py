@@ -640,3 +640,51 @@ def test_split_long_docs_reconstructs_exactly(spark, toks, max_tokens):
     for c in chunks:
         start = c["chunk_idx"] * stride
         assert c["chunk_text"].split() == toks[start : start + max_tokens]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.lists(st.sampled_from("ab"), min_size=1, max_size=2).map("".join),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_chunk_rewrite_matches_python_reference(spark, docs_toks, chunk):
+    """chunk_dedup_rewrite == a direct first-occurrence reference over
+    random corpora (tiny alphabet forces cross-doc and tail collisions)."""
+    import pandas as pd
+
+    from dataquality_box_spark.operators.corpus import chunk_dedup_rewrite
+
+    def ref(docs, c):
+        seen, out = set(), {}
+        for doc_id, toks in enumerate(docs):
+            kept, n_chunks = [], 0
+            for i in range(0, len(toks), c):
+                piece = " ".join(toks[i : i + c])
+                n_chunks += 1
+                if piece not in seen:
+                    seen.add(piece)
+                    kept.append(piece)
+            out[doc_id] = (n_chunks, len(kept), " ".join(kept))
+        return out
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(docs_toks)),
+                "text": [" ".join(t) for t in docs_toks],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in chunk_dedup_rewrite(df, chunk_tokens=chunk).collect()
+    }
+    assert got == ref(docs_toks, chunk)

@@ -1233,8 +1233,19 @@ _NORM_DUCK = (
 )
 
 
-# deterministic rounded-fold dot product (shared with the ANN library)
-from .operators.ann import dot_rounded as _dot_spark  # noqa: E402
+# deterministic rounded-fold dot product (shared with the ANN library).
+# The driver's embeddings table is contractually 64-dim (the oracle
+# twins hard-code range(1, 65)), so every driver-query call site passes
+# dim=64 and gets the unrolled whole-stage-codegen Add-chain instead of
+# the interpreted lambda fold — identical float ordering, no
+# NamedLambdaVariable thread contention (see operators/ann.dot_rounded).
+from .operators.ann import dot_rounded as _dot_any  # noqa: E402
+
+_EMB_DIM = 64
+
+
+def _dot_spark(a, b):
+    return _dot_any(a, b, dim=_EMB_DIM)
 
 
 @_q(
@@ -1315,13 +1326,16 @@ def _lsh_bucket_col(embedding=None, n_planes: int = 8):
     embedding = embedding if embedding is not None else F.col("embedding")
     bucket = None
     for j in range(n_planes):
-        signs = F.array(*[F.lit(s) for s in _lsh_signs(j)])
-        prods = F.zip_with(
-            F.transform(embedding, lambda x: x.cast("double")),
-            signs,
-            lambda x, s: F.round(x * s, 9),
-        )
-        proj = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        # unrolled codegen fold (same float order as the previous
+        # zip_with/aggregate lambda form: ((0.0 + t1) + t2) + ... with
+        # t_i = round(emb[i] * sign_i, 9)) — interpreted higher-order
+        # lambdas serialize across task threads and made bucket
+        # assignment the dominant ANN cost at local[32]
+        proj = F.lit(0.0)
+        for i, s in enumerate(_lsh_signs(j)):
+            proj = proj + F.round(
+                F.element_at(embedding, i + 1).cast("double") * F.lit(s), 9
+            )
         term = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return bucket.cast("long")
@@ -2063,8 +2077,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import ivf_kmeans_centroids, ivf_topk
 
     e = _tbl(spark, sf_dir, "embeddings")
-    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS)
-    return ivf_topk(e, cen, F.col("vec_id") < 5, k=3)
+    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS, dim=_EMB_DIM)
+    return ivf_topk(e, cen, F.col("vec_id") < 5, k=3, dim=_EMB_DIM)
 
 
 # Product quantization (the m-byte-codes compression path next to IVF):
@@ -2161,10 +2175,10 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import pq_adc_topk, pq_encode, pq_train_codebooks
 
     e = _tbl(spark, sf_dir, "embeddings")
-    cb = pq_train_codebooks(e, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
-    codes = pq_encode(e, cb, m=_PQ_M)
+    cb = pq_train_codebooks(e, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_EMB_DIM)
+    codes = pq_encode(e, cb, m=_PQ_M, dim=_EMB_DIM)
     queries = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
-    return pq_adc_topk(queries, codes, cb, m=_PQ_M, k=3)
+    return pq_adc_topk(queries, codes, cb, m=_PQ_M, k=3, dim=_EMB_DIM)
 
 
 # BPE-ish tokenizer: GPT-2-style pre-tokenization regex restricted to the
@@ -2724,8 +2738,8 @@ def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import ivf_kmeans_centroids, ivf_topk
 
     e = _tbl(spark, sf_dir, "embeddings")
-    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS)
-    return ivf_topk(e, cen, F.col("vec_id") < 5, k=3, nprobe=2)
+    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS, dim=_EMB_DIM)
+    return ivf_topk(e, cen, F.col("vec_id") < 5, k=3, nprobe=2, dim=_EMB_DIM)
 
 
 # Binary media-column plumbing, oracle-checked: a deterministic BLOB
@@ -3661,6 +3675,15 @@ def embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = _tbl(spark, sf_dir, "embeddings")
+    # DELIBERATELY kept as higher-order lambdas, unlike the dot/bucket
+    # paths: scale/qv/n2 are chained DERIVED columns (__scale feeds qv
+    # feeds n2), and an element-unrolled form references each derived
+    # column 64 times — CollapseProject then inlines the 64-term parent
+    # expression into every reference, a multiplicative expression-tree
+    # blowup that stalls Catalyst for minutes (measured: planning never
+    # finished at sf0.01). The lambda forms reference each parent exactly
+    # once. The pair volume here is modest (10 query rows broadcast), so
+    # the interpreted fold is not a measured bottleneck.
     scale = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
     ) / F.lit(127.0)
@@ -3688,11 +3711,11 @@ def embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), F.col("qv").alias("qb"),
         F.col("n2").alias("nb"),
     )
-    idot = F.aggregate(
-        F.zip_with("qa", "qb", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda a, b: a + b,
-    )
+    idot = F.lit(0).cast("long")
+    for i in range(_EMB_DIM):
+        idot = idot + F.element_at(F.col("qa"), i + 1) * F.element_at(
+            F.col("qb"), i + 1
+        )
     qcos = idot / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
@@ -4293,10 +4316,10 @@ def label_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("label").alias("centroid_id"), "embedding")
     ).select(F.col("centroid_id").alias("label"), F.col("embedding").alias("__ce"))
     cos = F.round(
-        dot_rounded(F.col("embedding"), F.col("__ce"))
+        dot_rounded(F.col("embedding"), F.col("__ce"), _EMB_DIM)
         / (
-            F.sqrt(dot_rounded(F.col("embedding"), F.col("embedding")))
-            * F.sqrt(dot_rounded(F.col("__ce"), F.col("__ce")))
+            F.sqrt(dot_rounded(F.col("embedding"), F.col("embedding"), _EMB_DIM))
+            * F.sqrt(dot_rounded(F.col("__ce"), F.col("__ce"), _EMB_DIM))
         ),
         6,
     )
@@ -4516,8 +4539,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import semdedup
 
     e = _tbl(spark, sf_dir, "embeddings")
-    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS)
-    return semdedup(e, cen, tau=0.95)
+    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS, dim=_EMB_DIM)
+    return semdedup(e, cen, tau=0.95, dim=_EMB_DIM)
 
 
 # --- agent-trace analysis family (operators/agentic.py): loop detection,
@@ -5167,10 +5190,16 @@ def doc_stopword_punct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_stop"),
     )
+    # \z (end of INPUT), not $: Java's $ also matches before a final
+    # trailing newline, while the oracle's RE2 $ matches only true end of
+    # string — a doc ending '.\n' would flag 1 here and 0 there. \z
+    # replicates RE2's anchor exactly; rtrim (spaces only) matches
+    # DuckDB's rtrim. Identical on every current row, fixes the latent
+    # newline-terminated divergence (ADVICE r5).
     ends = d.select(
         "doc_id",
         F.rtrim(F.col("text"))
-        .rlike('[.!?"]$')
+        .rlike('[.!?"]\\z')
         .cast("int")
         .alias("ends_terminal"),
     )
@@ -5178,7 +5207,13 @@ def doc_stopword_punct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_toks",
         "n_stop",
-        F.expr("(n_stop * 1000000) div n_toks").alias("stop_ppm"),
+        # BIGINT through the ppm product: n_stop is INT in the agg, and
+        # INT*1000000 silently wraps under ANSI-off for any doc with
+        # >2147 stop-word hits (routine in long web docs) — the oracle
+        # (which errors loudly there) computes the BIGINT value on all
+        # passing data, so this changes nothing on rows both engines
+        # return (ADVICE r5).
+        F.expr("(CAST(n_stop AS BIGINT) * 1000000) div n_toks").alias("stop_ppm"),
         "ends_terminal",
     )
 

@@ -24,9 +24,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot_rounded(a, b):
+def _unrolled_fold(term_at, dim: int):
+    """Left fold ``((0.0 + t1) + t2) + ...`` as a plain Add-chain —
+    bit-identical float order to ``F.aggregate(..., lit(0.0), acc + x)``
+    but whole-stage-codegen instead of an interpreted lambda (higher-
+    order transform/zip_with/aggregate run through a shared
+    NamedLambdaVariable that serializes across local task threads — the
+    same contention class functions/text.py measured 19-22x on n-grams).
+    """
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + term_at(i)
+    return acc
+
+
+def dot_rounded(a, b, dim: int | None = None):
     """Deterministic dot product: ordered fold of per-term rounded
-    products (matches DuckDB list_reduce/list_transform bit-for-bit)."""
+    products (matches DuckDB list_reduce/list_transform bit-for-bit).
+
+    Pass ``dim`` when the array length is known by contract (the
+    engine's embedding tables pin 64): the fold is then unrolled into a
+    codegen Add-chain with identical float ordering — the lambda form
+    runs interpreted and serializes across task threads. With ``dim``
+    the expression also mirrors the DuckDB twin's fixed range(1, dim+1)
+    literally, so a malformed shorter array yields NULL on both engines
+    instead of a silent partial sum."""
+    if dim is not None:
+        return _unrolled_fold(
+            lambda i: F.round(
+                F.element_at(a, i).cast("double")
+                * F.element_at(b, i).cast("double"),
+                9,
+            ),
+            dim,
+        )
     prods = F.zip_with(
         F.transform(a, lambda x: x.cast("double")),
         F.transform(b, lambda x: x.cast("double")),
@@ -41,6 +72,7 @@ def assign_ranked(
     n: int = 1,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-n nearest centroids per vector by cosine (query norm is
     constant per row, so only the centroid norm matters for the
@@ -48,8 +80,8 @@ def assign_ranked(
     join is narrow. n=1 is the coarse-quantizer assignment; n>1 feeds
     multi-probe search."""
     c = cen.select("centroid_id", F.col("embedding").alias("__cen_e"))
-    sim = dot_rounded(F.col(emb_col), F.col("__cen_e")) / F.sqrt(
-        dot_rounded(F.col("__cen_e"), F.col("__cen_e"))
+    sim = dot_rounded(F.col(emb_col), F.col("__cen_e"), dim) / F.sqrt(
+        dot_rounded(F.col("__cen_e"), F.col("__cen_e"), dim)
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
     return (
@@ -62,10 +94,14 @@ def assign_ranked(
 
 
 def assign_to_centroids(
-    emb: DataFrame, cen: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+    emb: DataFrame,
+    cen: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment (rank-1 of assign_ranked)."""
-    return assign_ranked(emb, cen, 1, id_col, emb_col).drop("__crank")
+    return assign_ranked(emb, cen, 1, id_col, emb_col, dim).drop("__crank")
 
 
 def update_centroids(assign: DataFrame, emb_col: str = "embedding") -> DataFrame:
@@ -85,9 +121,11 @@ def update_centroids(assign: DataFrame, emb_col: str = "embedding") -> DataFrame
         F.round(F.avg("val"), 4).alias("val")
     )
     return percoord.groupBy("centroid_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
-        ).alias("embedding")
+        # GetArrayStructFields (codegen) instead of an interpreted
+        # transform(s -> s["val"]) lambda; identical element order/values
+        F.sort_array(F.collect_list(F.struct("pos", "val")))
+        .getField("val")
+        .alias("embedding")
     )
 
 
@@ -130,6 +168,7 @@ def ivf_kmeans_centroids(
     emb_col: str = "embedding",
     tol: float = 0.0,
     seed_method: str = "hash",
+    dim: int | None = None,
 ) -> DataFrame:
     """K centroids after at most ``iters`` Lloyd iterations from a
     deterministic hash-spread seed (see ``seed_centroids``).
@@ -142,7 +181,7 @@ def ivf_kmeans_centroids(
     encode)."""
     cen = seed_centroids(emb, k, id_col, emb_col, seed_method)
     for _ in range(iters):
-        assign = assign_to_centroids(emb, cen, id_col, emb_col)
+        assign = assign_to_centroids(emb, cen, id_col, emb_col, dim)
         new_cen = update_centroids(assign, emb_col)
         if tol > 0.0:
             # materialize the K-row centroid frame: the per-iteration
@@ -176,9 +215,18 @@ def ivf_kmeans_centroids(
     return cen
 
 
-def _l2_rounded(a, b):
+def _l2_rounded(a, b, dim: int | None = None):
     """Deterministic squared L2: ordered fold of per-term rounded squared
-    differences (same rounding discipline as ``dot_rounded``)."""
+    differences (same rounding discipline as ``dot_rounded``, same
+    codegen unroll when ``dim`` is known)."""
+    if dim is not None:
+
+        def term(i):
+            x = F.element_at(a, i).cast("double")
+            y = F.element_at(b, i).cast("double")
+            return F.round((x - y) * (x - y), 9)
+
+        return _unrolled_fold(term, dim)
     diffs = F.zip_with(
         F.transform(a, lambda x: x.cast("double")),
         F.transform(b, lambda x: x.cast("double")),
@@ -234,6 +282,7 @@ def pq_train_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks: per-subspace k-means (L2), all m
     subspaces trained JOINTLY — assignment is one broadcast join of the
@@ -261,8 +310,9 @@ def pq_train_codebooks(
             F.transform(F.col("subvec"), lambda x: F.round(x, 4)).alias("subvec"),
         )
     )
+    sub_dim = dim // m if dim is not None else None
     for _ in range(iters):
-        assign = _pq_assign(subs, cen)
+        assign = _pq_assign(subs, cen, sub_dim)
         cen = (
             assign.select(
                 "sub_id",
@@ -273,21 +323,20 @@ def pq_train_codebooks(
             .agg(F.round(F.avg("val"), 4).alias("val"))
             .groupBy("sub_id", "code")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
-                ).alias("subvec")
+                F.sort_array(F.collect_list(F.struct("pos", "val")))
+                .getField("val")
+                .alias("subvec")
             )
         )
     return cen
 
 
-def _pq_assign(subs: DataFrame, cen: DataFrame) -> DataFrame:
+def _pq_assign(subs: DataFrame, cen: DataFrame, sub_dim: int | None = None) -> DataFrame:
     """Nearest codebook entry per (vector, subspace): broadcast the
     m*ksub codebook rows, join on sub_id, argmin L2 (ties to the smaller
     code). Keyed window on (id, sub_id)."""
     c = cen.select("sub_id", "code", F.col("subvec").alias("__cv"))
-    d2 = _l2_rounded(F.col("subvec"), F.col("__cv"))
+    d2 = _l2_rounded(F.col("subvec"), F.col("__cv"), sub_dim)
     id_col = subs.columns[0]
     w = Window.partitionBy(id_col, "sub_id").orderBy(
         F.col("__d2").asc(), F.col("code").asc()
@@ -307,15 +356,19 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Encode vectors to their PQ code arrays: (id, codes array<int>),
     codes ordered by sub_id. One broadcast assign + one groupBy(id)."""
-    assign = _pq_assign(pq_subvectors(emb, m, id_col, emb_col), codebooks)
+    assign = _pq_assign(
+        pq_subvectors(emb, m, id_col, emb_col),
+        codebooks,
+        dim // m if dim is not None else None,
+    )
     return assign.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
+        F.sort_array(F.collect_list(F.struct("sub_id", "code")))
+        .getField("code")
+        .alias("codes")
     )
 
 
@@ -327,6 +380,7 @@ def pq_adc_topk(
     k: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Asymmetric distance computation search: each query builds its
     m*ksub lookup table of exact subvector->codebook-entry distances
@@ -348,7 +402,9 @@ def pq_adc_topk(
             "query_id",
             "sub_id",
             "code",
-            _l2_rounded(F.col("subvec"), F.col("__cv")).alias("d2"),
+            _l2_rounded(
+                F.col("subvec"), F.col("__cv"), dim // m if dim is not None else None
+            ).alias("d2"),
         )
     )
     cand = codes.select(
@@ -379,6 +435,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     nprobe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors probing the query's ``nprobe`` nearest
     inverted lists (candidates always live in exactly one list — their
@@ -392,7 +449,7 @@ def ivf_topk(
     # the QUERY side probes its nprobe nearest lists; the CANDIDATE side
     # keeps each vector in exactly its rank-1 list (otherwise candidates
     # would be duplicated across lists, changing the index itself)
-    probes = assign_ranked(emb, cen, nprobe, id_col, emb_col)
+    probes = assign_ranked(emb, cen, nprobe, id_col, emb_col, dim)
     lists = probes.filter(F.col("__crank") == 1).drop("__crank")
     # norms are per-VECTOR, so fold them once on each side of the join —
     # folding inside the cosine would redo 2 of the 3 array folds per
@@ -401,18 +458,20 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col("centroid_id").alias("__qc"),
         F.col(emb_col).alias("__qe"),
-        F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col))).alias("__qn"),
+        F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col), dim)).alias("__qn"),
     )
     c = lists.select(
         F.col(id_col).alias("cand_id"),
         F.col("centroid_id").alias("__cc"),
         F.col(emb_col).alias("__ce"),
-        F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col))).alias("__cn"),
+        F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col), dim)).alias("__cn"),
     )
     pairs = q.join(
         c, (F.col("__cc") == F.col("__qc")) & (F.col("cand_id") != F.col("query_id"))
     )
-    cosine = dot_rounded(F.col("__qe"), F.col("__ce")) / (F.col("__qn") * F.col("__cn"))
+    cosine = dot_rounded(F.col("__qe"), F.col("__ce"), dim) / (
+        F.col("__qn") * F.col("__cn")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         pairs.withColumn("cosine", cosine)

@@ -123,12 +123,18 @@ def nb_train_score(
             F.sum("term").alias("tok_odds"),
         )
     )
-    # priors as plain Python micro-nats (same rounding as micro_ln)
+    # priors as plain Python micro-nats — rounded HALF-AWAY-FROM-ZERO to
+    # really match micro_ln (F.round) and the oracle's ROUND: builtin
+    # round() is banker's (half-to-even), which would diverge by 1 on a
+    # log-prior landing exactly on a .5 micro-nat boundary (ADVICE r5)
     import math
 
+    def _half_away(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
     prior = F.lit(
-        round(math.log((docs_k + 1) / (n_docs + 2)) * MICRO)
-        - round(math.log((docs_d + 1) / (n_docs + 2)) * MICRO)
+        _half_away(math.log((docs_k + 1) / (n_docs + 2)) * MICRO)
+        - _half_away(math.log((docs_d + 1) / (n_docs + 2)) * MICRO)
     ).cast("long")
     return (
         score.select("doc_id")

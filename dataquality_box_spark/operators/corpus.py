@@ -65,7 +65,16 @@ def heaps_curve(docs: DataFrame, points: int = 10) -> DataFrame:
         .groupBy("cutoff")
         .agg(F.sum("n").alias("corpus_tokens"))
     )
-    return corpus.join(vocab, "cutoff").select("cutoff", "corpus_tokens", "vocab")
+    # LEFT join + 0-coalesce: a cutoff where no token's first_doc fits
+    # (all early docs empty-text) must still emit vocab=0 — the oracle's
+    # correlated-subquery twin does, and an inner join would drop the
+    # row, a cross-engine row-count mismatch on degenerate corpora
+    # (ADVICE r5). Identical on any corpus where every cutoff has vocab.
+    return corpus.join(vocab, "cutoff", "left").select(
+        "cutoff",
+        "corpus_tokens",
+        F.coalesce(F.col("vocab"), F.lit(0)).alias("vocab"),
+    )
 
 
 def zipf_topk(docs: DataFrame, k: int = 100) -> DataFrame:
@@ -268,22 +277,26 @@ def chunk_dedup_rewrite(docs: DataFrame, chunk_tokens: int = 16) -> DataFrame:
         .agg(
             F.count("*").cast("int").alias("n_chunks"),
             F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+            # field extraction via GetArrayStructFields (codegen), NOT a
+            # higher-order transform(x -> x["chunk"]) lambda: interpreted
+            # lambdas serialize across task threads (the repo's measured
+            # 19-22x n-gram finding) and this sits on the hot path of a
+            # corpus-wide rewrite. Identical output: collect_list skips
+            # the non-kept NULL structs, array_sort orders by (ci, chunk),
+            # .chunk extracts the same field per element.
             F.concat_ws(
                 " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("keep"),
-                                F.struct(
-                                    F.col("ci").alias("ci"),
-                                    F.col("chunk").alias("chunk"),
-                                ),
-                            )
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct(
+                                F.col("ci").alias("ci"),
+                                F.col("chunk").alias("chunk"),
+                            ),
                         )
-                    ),
-                    lambda x: x["chunk"],
-                ),
+                    )
+                ).getField("chunk"),
             ).alias("new_text"),
         )
     )
@@ -350,9 +363,12 @@ def winnow_fingerprints(
         .agg(
             F.max("m").cast("int").alias("n_grams"),
             F.countDistinct("win_min").cast("int").alias("n_fingerprints"),
+            # sort_array, not array_sort: identical on these null-free
+            # md5 strings, but array_sort's default comparator is an
+            # interpreted lambda (thread-serialized); sort_array is not
             F.md5(
                 F.concat_ws(
-                    "", F.array_sort(F.collect_set("win_min"))
+                    "", F.sort_array(F.collect_set("win_min"))
                 )
             ).alias("fp_digest"),
         )

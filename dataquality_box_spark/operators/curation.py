@@ -261,7 +261,7 @@ def dsir_logratio_weights(
     return doc_terms.groupBy(id_col).agg(
         F.round(
             F.aggregate(
-                F.array_sort(F.collect_list(F.struct("b", "term"))),
+                F.sort_array(F.collect_list(F.struct("b", "term"))),
                 F.lit(0.0),
                 lambda a, x: a + x["term"],
             ),
@@ -415,9 +415,15 @@ def cluster_safe_split(
     route (edge-set-sized rounds); the gate adds one narrow column on
     the cluster assignment — no extra shuffle.
     """
-    from .dedup import duplicate_clusters
+    from .dedup import duplicate_clusters_star
 
-    clusters = duplicate_clusters(
+    # star CC, as the docstring above promises: min-label propagation
+    # (duplicate_clusters) RAISES past 20 rounds on a >20-diameter
+    # duplicate chain, failing the whole split; large-star/small-star
+    # converges in O(log n) rounds on exactly those chains with the same
+    # (id, cluster_id) output contract — the identical swap the funnel
+    # got (driver_queries.curation_funnel_clustered).
+    clusters = duplicate_clusters_star(
         pairs, all_docs=all_docs, id_col=id_col
     ).select(id_col, "cluster_id")
     bucket = _hash_bucket(F.col("cluster_id"), salt)

@@ -36,13 +36,25 @@ def with_decision(df: DataFrame, cfg: QualityConfig, flag_cols: dict[str, str]) 
     flag_cols maps reason name -> boolean column name present in df.
     """
     reasons = [r for r in DROP_REASONS if r in flag_cols]
-    fired = F.array(
-        *[F.when(F.col(flag_cols[r]), F.lit(r)) for r in reasons]
+    # concat of per-reason 0/1-element arrays, NOT array_compact(array(
+    # when(...))): array_compact is RuntimeReplaceable sugar for
+    # filter(x -> isnotnull(x)) — still an interpreted NamedLambdaVariable
+    # lambda that serializes across task threads, and this runs on every
+    # turn of the flagship pipeline. Concat is whole-stage codegen and
+    # yields the identical taxonomy-ordered fired-reason array (a NULL
+    # flag takes the empty-array branch, exactly like compact dropping
+    # its NULL element).
+    empty = F.array().cast("array<string>")
+    drop_reasons = (
+        F.concat(
+            *[
+                F.when(F.col(flag_cols[r]), F.array(F.lit(r))).otherwise(empty)
+                for r in reasons
+            ]
+        )
+        if reasons
+        else empty
     )
-    # array_compact, not filter(lambda x: x.isNotNull()): this runs on
-    # every turn of the flagship pipeline, and interpreted HOF lambdas
-    # serialize across task threads (NamedLambdaVariable contention)
-    drop_reasons = F.array_compact(fired)
     dropping = set(cfg.dropping_reasons)
     drop_flags = [F.col(flag_cols[r]) for r in reasons if r in dropping]
     keep = ~F.greatest(*drop_flags, F.lit(False)) if drop_flags else F.lit(True)

@@ -800,6 +800,7 @@ def _split_mega_clusters(
     emb_col: str,
     split_k: int = 8,
     max_depth: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Bound SemDeDup's per-cluster pairwise population: refine clusters
     larger than ``max_cluster`` by recursive Voronoi splitting until
@@ -901,7 +902,7 @@ def _split_mega_clusters(
         )
         split = (
             members.join(F.broadcast(seeds), F.col("__cid") == F.col("__scid"))
-            .withColumn("__d", _l2_rounded(F.col(emb_col), F.col("__se")))
+            .withColumn("__d", _l2_rounded(F.col(emb_col), F.col("__se"), dim))
             .withColumn("__self", F.col(id_col) == F.col("__sid"))
             .withColumn("__rk", F.row_number().over(w_near))
             .filter(F.col("__rk") == 1)
@@ -942,6 +943,7 @@ def semdedup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     max_cluster: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by k-means cluster
     + within-cluster pairwise cosine. A vector is dropped when some
@@ -976,9 +978,11 @@ def semdedup(
     # materialize the assignment ONCE: it feeds both pair sides and the
     # final join-back, and its lineage embeds the whole k-means DAG —
     # without the checkpoint the dominant cost would replay up to 3x
-    lists = assign_to_centroids(emb, cen, id_col, emb_col).localCheckpoint(eager=True)
+    lists = assign_to_centroids(emb, cen, id_col, emb_col, dim).localCheckpoint(
+        eager=True
+    )
     if max_cluster is not None:
-        refined = _split_mega_clusters(lists, max_cluster, id_col, emb_col)
+        refined = _split_mega_clusters(lists, max_cluster, id_col, emb_col, dim=dim)
         pairside = refined.filter(~F.col("__exact_dup"))
         exact = refined.filter(F.col("__exact_dup")).select(
             F.col(id_col),
@@ -1003,7 +1007,7 @@ def semdedup(
     else:
         pairside = lists.withColumn("__cid", F.col("centroid_id").cast("string"))
         exact = None
-    norm = F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col)))
+    norm = F.sqrt(dot_rounded(F.col(emb_col), F.col(emb_col), dim))
     a = pairside.select(
         F.col(id_col),
         "centroid_id",
@@ -1018,7 +1022,9 @@ def semdedup(
         norm.alias("__bn"),
     )
     cos = F.round(
-        dot_rounded(F.col("__ae"), F.col("__be")) / (F.col("__an") * F.col("__bn")), 6
+        dot_rounded(F.col("__ae"), F.col("__be"), dim)
+        / (F.col("__an") * F.col("__bn")),
+        6,
     )
     dup = (
         a.join(

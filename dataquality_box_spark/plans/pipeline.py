@@ -56,6 +56,14 @@ def run_pipeline(
 ) -> DataFrame:
     """Full annotated frame: input columns + flags + lang/ppl +
     drop_reasons + keep + scrubbed_text."""
+    # scale-adaptive shuffle sizing (guide §2.2): start the conv_id
+    # exchange at input_bytes-derived partitions so the window stage is
+    # bytes-bounded at 100x corpus (no 16g-heap OOM) without taxing
+    # small corpora with a fixed high partition count. In-memory frames
+    # report 0 bytes and keep the session default.
+    from ..session import input_bytes_of, tune_shuffle_for
+
+    tune_shuffle_for(df.sparkSession, input_bytes_of(df))
     annotated = annotate_turns(df, cfg)
     if repartition_to:
         # explicit repartition before the shuffle-heavy window stage

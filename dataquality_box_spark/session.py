@@ -39,19 +39,24 @@ def get_spark(
         # shuffle.partitions=cores silently becomes rows/32 per task as the
         # corpus grows — at 143M turns (the 100x bench point) the conv_id
         # window stage put 4.5M text rows in each of 32 concurrent window
-        # buffers + parquet writers and OOMed the 16g heap. Starting higher
-        # and letting AQE coalesce to ~64MB targets gives ~cores partitions
-        # at small inputs (parallelismFirst keeps every core busy) and
-        # bytes-bounded partitions at 100x (measured: AQE picks 256 for the
-        # 143M-turn window stage, 370k turns/sec, no OOM). 256 is sized to
-        # this box: per-map shuffle-bucket overhead is linear in the
-        # initial count (a small-query-heavy suite ran 31s/43s/136s at
-        # 32/256/2048), so don't start higher than the largest local corpus
-        # needs; a 1000-executor deployment raises the env knob alongside
-        # shuffle.partitions.
+        # buffers + parquet writers and OOMed the 16g heap. Round 5 fixed
+        # that by PINNING initialPartitionNum=256, but per-map
+        # shuffle-bucket overhead is linear in the initial count (a
+        # small-query-heavy suite ran 31s/43s/136s at 32/256/2048), so the
+        # pin taxed every small/mid-scale run ~25-40%. Round 6 replaces the
+        # constant with INPUT-SIZED tuning: the session starts at the
+        # shuffle.partitions default (cores locally — right for small
+        # inputs) and job entry points call ``tune_shuffle_for`` below,
+        # which raises the knob to input_bytes-derived values before a
+        # large plan executes (the 100x pipeline gets its ~256 back, sf0.1
+        # queries keep ~cores). DQX_INITIAL_SHUFFLE_PARTITIONS still
+        # force-pins a constant for cluster deployments that size it from
+        # executor count.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("DQX_INITIAL_SHUFFLE_PARTITIONS", "256"),
+            os.environ.get(
+                "DQX_INITIAL_SHUFFLE_PARTITIONS", str(shuffle)
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -77,3 +82,69 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# AQE's partition-coalescing target (spark.sql.adaptive.
+# advisoryPartitionSizeInBytes default): tuned partition counts aim here.
+_ADVISORY_BYTES = 64 * 1024 * 1024
+
+# Parquet-to-shuffle expansion for this engine's text-heavy frames:
+# zstd-compressed transcript parquet re-expands ~7x once annotated rows
+# hit the conv_id exchange (measured at the 143M-turn point: 2.44 GB
+# parquet -> AQE coalesced the window shuffle to ~256 x 64 MB ≈ 16 GB).
+# 8 keeps a margin without over-partitioning small inputs.
+_SHUFFLE_EXPANSION = 8.0
+
+# ceiling: far above any local corpus; a cluster deployment that needs
+# more pins DQX_INITIAL_SHUFFLE_PARTITIONS explicitly.
+_MAX_INITIAL_PARTITIONS = 4096
+
+
+def input_bytes_of(df) -> int:
+    """Total on-disk bytes behind a DataFrame's file scans (0 for
+    in-memory/derived-only frames). Driver-side only: lists the leaf
+    files Catalyst already resolved — no job runs."""
+    total = 0
+    for f in df.inputFiles():
+        path = f[7:] if f.startswith("file:///") else f
+        if not path.startswith("/"):
+            continue  # non-local source; caller keeps the session default
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            pass
+    return total
+
+
+def tune_shuffle_for(spark, input_bytes: int) -> int:
+    """Scale-adaptive shuffle sizing (optimization guide §2.2): set AQE's
+    ``initialPartitionNum`` from the job's input bytes so shuffles start
+    near ``input_bytes * expansion / 64MB`` partitions and AQE coalesces
+    down — bytes-bounded tasks at 100x corpus, ~core-count tasks (and no
+    per-map bucket tax) at sf0.1. Called by job entry points (pipeline,
+    driver-query table registration, corpus-sized operators) BEFORE the
+    action; the conf is session-level and read at each query's planning,
+    so the last caller before an action wins.
+
+    No-ops when DQX_INITIAL_SHUFFLE_PARTITIONS pins an explicit value
+    (cluster deployments) or when input_bytes is unknown (<= 0).
+    Returns the partition count now in effect."""
+    pinned = os.environ.get("DQX_INITIAL_SHUFFLE_PARTITIONS")
+    if pinned:
+        return int(pinned)
+    cores = spark.sparkContext.defaultParallelism
+    current = int(
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", None
+        )
+        or cores
+    )
+    if input_bytes <= 0:
+        return current
+    want = int(input_bytes * _SHUFFLE_EXPANSION) // _ADVISORY_BYTES
+    n = max(cores, min(want, _MAX_INITIAL_PARTITIONS))
+    if n != current:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(n)
+        )
+    return n

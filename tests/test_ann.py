@@ -421,3 +421,43 @@ def test_pq_subvectors_rejects_indivisible_m(spark):
     # dividing m still works and keeps full width
     rows = pq_subvectors(e, m=4).collect()
     assert all(len(r["subvec"]) == DIM // 4 for r in rows)
+
+
+def test_dot_and_l2_unrolled_match_lambda_fold(spark):
+    """The dim-unrolled codegen folds must be bit-identical to the legacy
+    interpreted-lambda folds (same per-term rounding, same left-fold
+    order) on both the dot product and squared-L2 paths."""
+    import hashlib
+
+    import pandas as pd
+
+    from dataquality_box_spark.operators.ann import _l2_rounded, dot_rounded
+
+    def vec(seed: str) -> list[float]:
+        out = []
+        for i in range(64):
+            h = int(hashlib.md5(f"{seed}#{i}".encode()).hexdigest()[:8], 16)
+            out.append((h % 20011) / 10007.0 - 1.0)
+        return out
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [vec(f"a{r}") for r in range(8)] + [[0.0] * 64],
+                "b": [vec(f"b{r}") for r in range(8)] + [[0.0] * 64],
+            }
+        )
+    )
+    rows = df.select(
+        dot_rounded(F.col("a"), F.col("b")).alias("dot_lambda"),
+        dot_rounded(F.col("a"), F.col("b"), dim=64).alias("dot_unrolled"),
+        _l2_rounded(F.col("a"), F.col("b")).alias("l2_lambda"),
+        _l2_rounded(F.col("a"), F.col("b"), dim=64).alias("l2_unrolled"),
+    ).collect()
+    import struct
+
+    for r in rows:
+        assert struct.pack("d", r["dot_lambda"]) == struct.pack(
+            "d", r["dot_unrolled"]
+        )
+        assert struct.pack("d", r["l2_lambda"]) == struct.pack("d", r["l2_unrolled"])

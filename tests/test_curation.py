@@ -325,6 +325,26 @@ def test_cluster_safe_split_keeps_clusters_whole(spark):
     assert again == {d: out[d]["side"] for d in out}
 
 
+def test_cluster_safe_split_survives_long_chain(spark):
+    """A duplicate chain deeper than min-label propagation's 20-round cap
+    must still split (the star-CC route converges in O(log n) rounds):
+    the r5 verdict's pathological case for the old duplicate_clusters
+    call. All 40 chained docs form ONE cluster on ONE side."""
+    import pandas as pd
+
+    from dataquality_box_spark.operators.curation import cluster_safe_split
+
+    n = 40  # diameter 39 > the propagation route's max_iters=20
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))})
+    )
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    out = cluster_safe_split(pairs, docs, eval_rate=0.3).collect()
+    assert len(out) == n
+    assert {r["cluster_id"] for r in out} == {0}
+    assert len({r["side"] for r in out}) == 1
+
+
 def test_mixture_plan_zero_weight_sum_raises(spark):
     import pandas as pd
     import pytest

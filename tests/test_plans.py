@@ -273,3 +273,28 @@ def test_dsir_logratio_table_broadcasts(spark):
     # should appear anywhere in the weight plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rewrite_and_ann_plans_are_lambda_free(spark):
+    """No interpreted higher-order lambdas (NamedLambdaVariable — they
+    serialize across task threads) in the chunk-rewrite reassembly or
+    the driver ANN dot/bucket expressions: the r6 codegen rewrites must
+    not regress back to transform/aggregate lambda folds."""
+    import pandas as pd
+
+    from dataquality_box_spark.driver_queries import _lsh_bucket_col, neardup_ann_over
+    from dataquality_box_spark.operators.corpus import chunk_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "a b c d e"]})
+    )
+    plan = _plan(chunk_dedup_rewrite(docs, chunk_tokens=2))
+    assert "lambdafunction" not in plan, plan
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.1] * 64, [0.2] * 64]})
+    )
+    plan = _plan(emb.select(_lsh_bucket_col().alias("b")))
+    assert "lambdafunction" not in plan, plan
+    plan = _plan(neardup_ann_over(emb))
+    assert "lambdafunction" not in plan, plan

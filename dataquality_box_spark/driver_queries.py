@@ -1234,18 +1234,17 @@ _NORM_DUCK = (
 
 
 # deterministic rounded-fold dot product (shared with the ANN library).
-# The driver's embeddings table is contractually 64-dim (the oracle
-# twins hard-code range(1, 65)), so every driver-query call site passes
-# dim=64 and gets the unrolled whole-stage-codegen Add-chain instead of
-# the interpreted lambda fold — identical float ordering, no
-# NamedLambdaVariable thread contention (see operators/ann.dot_rounded).
-from .operators.ann import dot_rounded as _dot_any  # noqa: E402
-
-_EMB_DIM = 64
-
-
-def _dot_spark(a, b):
-    return _dot_any(a, b, dim=_EMB_DIM)
+# MEASURED AND KEPT AS THE LAMBDA FOLD: a dim-64 unrolled Add-chain
+# (ann.dot_rounded's dim parameter, bit-identical float order) looked
+# like the codegen win the n-gram rewrite was, but best-of-3 at sf0.1
+# it REGRESSED every embedding query — neardup_ann 2.88s -> 6.32s with
+# dot+bucket unrolled, 3.70s with dot alone — because each run
+# re-compiles the enormous generated source (fresh expression ids per
+# DataFrame defeat the codegen cache) and the per-run Janino cost
+# swamps the interpreted fold, which at 64 floats x thousands of rows
+# was never the bottleneck. The unrolled path stays available (and
+# equivalence-tested) for genuinely fold-bound shapes.
+from .operators.ann import dot_rounded as _dot_spark  # noqa: E402
 
 
 @_q(
@@ -1326,16 +1325,18 @@ def _lsh_bucket_col(embedding=None, n_planes: int = 8):
     embedding = embedding if embedding is not None else F.col("embedding")
     bucket = None
     for j in range(n_planes):
-        # unrolled codegen fold (same float order as the previous
-        # zip_with/aggregate lambda form: ((0.0 + t1) + t2) + ... with
-        # t_i = round(emb[i] * sign_i, 9)) — interpreted higher-order
-        # lambdas serialize across task threads and made bucket
-        # assignment the dominant ANN cost at local[32]
-        proj = F.lit(0.0)
-        for i, s in enumerate(_lsh_signs(j)):
-            proj = proj + F.round(
-                F.element_at(embedding, i + 1).cast("double") * F.lit(s), 9
-            )
+        # deliberately the compact zip_with/aggregate fold: an unrolled
+        # 8x64-term Add-chain was measured SLOWER (neardup_ann
+        # 2.88s -> 4.50s best-of-3 at sf0.1) — the giant generated
+        # source recompiles on every run and per-run compile time
+        # dominates this arithmetic at any realistic bucket volume
+        signs = F.array(*[F.lit(s) for s in _lsh_signs(j)])
+        prods = F.zip_with(
+            F.transform(embedding, lambda x: x.cast("double")),
+            signs,
+            lambda x, s: F.round(x * s, 9),
+        )
+        proj = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         term = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return bucket.cast("long")
@@ -1396,18 +1397,33 @@ def neardup_ann_over(emb: DataFrame, n_planes: int = 8) -> DataFrame:
     evidence so both measure the same plan. ``n_planes`` is the
     bucket-occupancy lever at scale (2^planes buckets; +log2(N) planes
     at N× corpus)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     # norms folded once per VECTOR on each join side (identical values to
-    # folding per pair — the oracle's inline form — but 1/3 the work)
-    e = emb.withColumn("bucket", _lsh_bucket_col(n_planes=n_planes))
-    norm = F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
-    q = e.select("vec_id", "bucket", F.col("embedding").alias("qe"), norm.alias("qn"))
+    # folding per pair — the oracle's inline form — but 1/3 the work).
+    # The (bucket, norm)-annotated frame feeds BOTH sides of the pair
+    # join; persisting it computes the scan + bucket assignment + norm
+    # fold once instead of twice (measured 2.90s -> 2.18s best-of-3 at
+    # sf0.1) — the same shared-consumer persist the jaccard route uses
+    # for its token set (jaccard_pairs_lsh_from_tokens), with the same
+    # lifetime note: the cache outlives this call because the returned
+    # plan is lazy; MEMORY_AND_DISK spills rather than fails at scale.
+    e = (
+        emb.withColumn("bucket", _lsh_bucket_col(n_planes=n_planes))
+        .withColumn(
+            "__norm", F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    q = e.select(
+        "vec_id", "bucket", F.col("embedding").alias("qe"), F.col("__norm").alias("qn")
+    )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("bucket").alias("__cb"),
         F.col("embedding").alias("ce"),
-        norm.alias("cn"),
+        F.col("__norm").alias("cn"),
     )
     pairs = q.join(
         c, (F.col("bucket") == F.col("__cb")) & (F.col("neighbor_id") != F.col("vec_id"))
@@ -2077,8 +2093,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import ivf_kmeans_centroids, ivf_topk
 
     e = _tbl(spark, sf_dir, "embeddings")
-    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS, dim=_EMB_DIM)
-    return ivf_topk(e, cen, F.col("vec_id") < 5, k=3, dim=_EMB_DIM)
+    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS)
+    return ivf_topk(e, cen, F.col("vec_id") < 5, k=3)
 
 
 # Product quantization (the m-byte-codes compression path next to IVF):
@@ -2175,10 +2191,10 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import pq_adc_topk, pq_encode, pq_train_codebooks
 
     e = _tbl(spark, sf_dir, "embeddings")
-    cb = pq_train_codebooks(e, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_EMB_DIM)
-    codes = pq_encode(e, cb, m=_PQ_M, dim=_EMB_DIM)
+    cb = pq_train_codebooks(e, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+    codes = pq_encode(e, cb, m=_PQ_M)
     queries = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
-    return pq_adc_topk(queries, codes, cb, m=_PQ_M, k=3, dim=_EMB_DIM)
+    return pq_adc_topk(queries, codes, cb, m=_PQ_M, k=3)
 
 
 # BPE-ish tokenizer: GPT-2-style pre-tokenization regex restricted to the
@@ -2738,8 +2754,8 @@ def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import ivf_kmeans_centroids, ivf_topk
 
     e = _tbl(spark, sf_dir, "embeddings")
-    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS, dim=_EMB_DIM)
-    return ivf_topk(e, cen, F.col("vec_id") < 5, k=3, nprobe=2, dim=_EMB_DIM)
+    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS)
+    return ivf_topk(e, cen, F.col("vec_id") < 5, k=3, nprobe=2)
 
 
 # Binary media-column plumbing, oracle-checked: a deterministic BLOB
@@ -3711,11 +3727,11 @@ def embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), F.col("qv").alias("qb"),
         F.col("n2").alias("nb"),
     )
-    idot = F.lit(0).cast("long")
-    for i in range(_EMB_DIM):
-        idot = idot + F.element_at(F.col("qa"), i + 1) * F.element_at(
-            F.col("qb"), i + 1
-        )
+    idot = F.aggregate(
+        F.zip_with("qa", "qb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
     qcos = idot / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
@@ -4316,10 +4332,10 @@ def label_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("label").alias("centroid_id"), "embedding")
     ).select(F.col("centroid_id").alias("label"), F.col("embedding").alias("__ce"))
     cos = F.round(
-        dot_rounded(F.col("embedding"), F.col("__ce"), _EMB_DIM)
+        dot_rounded(F.col("embedding"), F.col("__ce"))
         / (
-            F.sqrt(dot_rounded(F.col("embedding"), F.col("embedding"), _EMB_DIM))
-            * F.sqrt(dot_rounded(F.col("__ce"), F.col("__ce"), _EMB_DIM))
+            F.sqrt(dot_rounded(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(dot_rounded(F.col("__ce"), F.col("__ce")))
         ),
         6,
     )
@@ -4539,8 +4555,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import semdedup
 
     e = _tbl(spark, sf_dir, "embeddings")
-    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS, dim=_EMB_DIM)
-    return semdedup(e, cen, tau=0.95, dim=_EMB_DIM)
+    cen = ivf_kmeans_centroids(e, _IVF_K, iters=_IVF_ITERS)
+    return semdedup(e, cen, tau=0.95)
 
 
 # --- agent-trace analysis family (operators/agentic.py): loop detection,

@@ -111,12 +111,13 @@ def update_centroids(assign: DataFrame, emb_col: str = "embedding") -> DataFrame
     aggregation; the final collect_list per centroid is only 64 elements.
     Centroids that lose all members simply vanish (same on both engines).
     """
+    # explode the raw array and cast AFTER the generator (identical
+    # values; avoids an interpreted transform() lambda on the
+    # corpus-sized explode each Lloyd iteration)
     memb = assign.select(
         "centroid_id",
-        F.posexplode(F.transform(F.col(emb_col), lambda x: x.cast("double"))).alias(
-            "pos", "val"
-        ),
-    )
+        F.posexplode(F.col(emb_col)).alias("pos", "__raw"),
+    ).select("centroid_id", "pos", F.col("__raw").cast("double").alias("val"))
     percoord = memb.groupBy("centroid_id", "pos").agg(
         F.round(F.avg("val"), 4).alias("val")
     )

@@ -844,16 +844,39 @@ def _split_mega_clusters(
     """
     from .ann import _l2_rounded
 
-    vh = F.md5(
-        F.to_json(
-            F.transform(F.col(emb_col), lambda x: F.round(x.cast("double"), 9))
-        ).cast("binary")
-    )
-    nonzero = F.aggregate(
-        F.transform(F.col(emb_col), lambda x: F.abs(x.cast("double"))),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, x),
-    ) > 0
+    if dim is not None:
+        # unrolled codegen forms (see ann.dot_rounded): same rounded
+        # values into the same to_json/greatest shapes, no interpreted
+        # lambda on the corpus-sized exact-collapse pass. emb_col here is
+        # an attribute of the checkpointed `lists`, so the 64 references
+        # cannot be inlined into anything bigger.
+        vh = F.md5(
+            F.to_json(
+                F.array(
+                    *[
+                        F.round(F.element_at(F.col(emb_col), i + 1).cast("double"), 9)
+                        for i in range(dim)
+                    ]
+                )
+            ).cast("binary")
+        )
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = F.greatest(
+                acc, F.abs(F.element_at(F.col(emb_col), i + 1).cast("double"))
+            )
+        nonzero = acc > 0
+    else:
+        vh = F.md5(
+            F.to_json(
+                F.transform(F.col(emb_col), lambda x: F.round(x.cast("double"), 9))
+            ).cast("binary")
+        )
+        nonzero = F.aggregate(
+            F.transform(F.col(emb_col), lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ) > 0
     w_vh = Window.partitionBy("centroid_id", "__vh").orderBy(F.col(id_col).asc())
     refined = (
         lists.withColumn("__cid", F.col("centroid_id").cast("string"))

@@ -59,6 +59,19 @@ def get_spark(
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime
+        # when EVERY post-shuffle partition of the build side is under
+        # the advisory partition size (guide §3.1; default 0 = never).
+        # Skips the per-partition sorts; the build map is bounded by the
+        # same 64 MB the coalescer targets, so this is scale-safe by
+        # construction (AQE declines the rewrite when any partition is
+        # bigger). Measured best-of-3 at sf0.1: two_tier 1.56->1.27 s,
+        # dedup_jaccard_lsh 2.47->2.09 s, transcript_keep_scrub
+        # 1.85->1.53 s; no query slower.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("DQX_SHJ_LOCAL_MAP_THRESHOLD", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

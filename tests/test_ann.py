@@ -461,3 +461,28 @@ def test_dot_and_l2_unrolled_match_lambda_fold(spark):
             "d", r["dot_unrolled"]
         )
         assert struct.pack("d", r["l2_lambda"]) == struct.pack("d", r["l2_unrolled"])
+
+
+def test_semdedup_dim_unroll_matches_lambda_route(spark):
+    """semdedup with dim pinned (unrolled codegen guard expressions) must
+    produce the exact rows of the dim=None lambda route, including the
+    mega-cluster guard's exact-collapse and zero-vector paths."""
+    from dataquality_box_spark.operators.dedup import semdedup
+
+    dim = len(_vec(0, 0.0))
+    vecs = (
+        [_vec(0, 0.0)] * 5                       # exact-dup mega group
+        + [[0.0] * dim] * 3                      # zero vectors
+        + [_vec(0, 0.001 * k) for k in range(1, 7)]  # distinct near-dups
+    )
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(len(vecs))), "embedding": vecs})
+    )
+    cen = _one_cluster_centroid(spark)
+    a = sorted(
+        map(tuple, semdedup(e, cen, tau=0.95, max_cluster=4).collect())
+    )
+    b = sorted(
+        map(tuple, semdedup(e, cen, tau=0.95, max_cluster=4, dim=dim).collect())
+    )
+    assert a == b

@@ -275,14 +275,16 @@ def test_dsir_logratio_table_broadcasts(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_rewrite_and_ann_plans_are_lambda_free(spark):
+def test_rewrite_and_pipeline_plans_are_lambda_free(spark, transcripts_df):
     """No interpreted higher-order lambdas (NamedLambdaVariable — they
-    serialize across task threads) in the chunk-rewrite reassembly or
-    the driver ANN dot/bucket expressions: the r6 codegen rewrites must
-    not regress back to transform/aggregate lambda folds."""
+    serialize across task threads) in the chunk-rewrite reassembly
+    (sort_array + getField, not array_sort-default-comparator +
+    transform) or the flagship decision stage (concat-of-arrays, not
+    array_compact's hidden filter-lambda). The ANN dot/bucket folds
+    deliberately STAY lambdas — the unrolled form measured slower
+    (per-run codegen compile dominates; see driver_queries notes)."""
     import pandas as pd
 
-    from dataquality_box_spark.driver_queries import _lsh_bucket_col, neardup_ann_over
     from dataquality_box_spark.operators.corpus import chunk_dedup_rewrite
 
     docs = spark.createDataFrame(
@@ -291,10 +293,6 @@ def test_rewrite_and_ann_plans_are_lambda_free(spark):
     plan = _plan(chunk_dedup_rewrite(docs, chunk_tokens=2))
     assert "lambdafunction" not in plan, plan
 
-    emb = spark.createDataFrame(
-        pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.1] * 64, [0.2] * 64]})
-    )
-    plan = _plan(emb.select(_lsh_bucket_col().alias("b")))
-    assert "lambdafunction" not in plan, plan
-    plan = _plan(neardup_ann_over(emb))
+    result = run_pipeline(transcripts_df, DEFAULT_CONFIG)
+    plan = _plan(result)
     assert "lambdafunction" not in plan, plan

@@ -59,6 +59,19 @@ def token_sets(
     ).distinct()
     if df_cap_inv is None:
         return toks
+    # persist BEFORE deriving the cap: the un-persisted form re-ran the
+    # explode+distinct subtree three times (main branch, hot-token DF
+    # agg, ndocs countDistinct). At sf0.1 the wall win is modest
+    # (1.02s -> 0.88s best-of-N — the small subtree overlaps across
+    # jobs) but at corpus scale this is one tokenize+distinct pass
+    # instead of three. Downstream persists (the LSH route caches the
+    # CAPPED set for its three consumers) compose with this one;
+    # MEMORY_AND_DISK spills instead of failing, and the cache outlives
+    # the call because the returned plan is lazy (same lifetime note as
+    # jaccard_pairs_lsh_from_tokens).
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     hot = hot_token_list(toks, id_col, df_cap_inv)
     return toks.join(F.broadcast(hot), on="tok", how="left_anti").select(id_col, "tok")
 

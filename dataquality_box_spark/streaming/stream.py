@@ -201,7 +201,12 @@ def full_pipeline_stream(
         )
     else:
         conv = conversation_flags_stateful(stream)
-    annotated = annotate_turns(conv, cfg)
+    # udf_first=False: the stateful operator's output rows are not
+    # UnsafeRow, and ArrowEvalPython's pass-through queue requires
+    # UnsafeRow children — the flags projection below the UDF is the
+    # conversion barrier (the batch plan, whose child is a scan/Project,
+    # uses the faster UDF-first order).
+    annotated = annotate_turns(conv, cfg, udf_first=False)
     decided = with_decision(
         annotated, cfg, {r: r for r in DROP_REASONS if r in annotated.columns}
     )

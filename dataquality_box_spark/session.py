@@ -119,7 +119,13 @@ def input_bytes_of(df) -> int:
     files Catalyst already resolved — no job runs."""
     total = 0
     for f in df.inputFiles():
-        path = f[7:] if f.startswith("file:///") else f
+        if f.startswith("file:"):
+            # file:///x, file://x and file:/x all mean local /x
+            path = f[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        else:
+            path = f
         if not path.startswith("/"):
             continue  # non-local source; caller keeps the session default
         try:

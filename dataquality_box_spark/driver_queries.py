@@ -3395,7 +3395,11 @@ def _quality_q_col():
 
     nt = F.size(tokens(F.col("text")))
     nc = F.length("text")
-    nsym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 \\t\\n\\r]", ""))
+    # translate == the oracle's char-class delete on this pure-ASCII set
+    # (see functions.text.symbol_ratio) — no regex engine on the hot path
+    from .functions.text import _ALNUM_WS
+
+    nsym = F.length(F.translate(F.col("text"), _ALNUM_WS, ""))
     nstop = F.regexp_count(
         F.lower(F.col("text")), F.lit("\\b(?:" + "|".join(MARKERS["en"]) + ")\\b")
     )

@@ -181,3 +181,27 @@ def test_load_rules_skips_empty_yaml(tmp_path):
     (tmp_path / "notes.txt").write_text("ignored")
     rules = load_rules(str(tmp_path))
     assert len(rules) == 2
+
+
+def test_symbol_ratio_translate_matches_regex_form(spark):
+    """symbol_ratio's translate() rewrite must stay value-identical to the
+    frozen oracle's regexp_replace char-class delete — including on
+    non-ASCII, surrogate-pair, empty and NULL text (r6 optimization)."""
+    from dataquality_box_spark.functions.text import symbol_ratio
+
+    rows = [
+        ("",), ("abc",), ("a!b?c",), ("   ",), ("\t\n\r",),
+        ("a€b☃",), ("ééé",), ("K x",),
+        ("\U0001f642\U0001f642",), ("mixed 123 !!! ~#\t\n",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    regex_form = F.when(
+        F.coalesce(F.length("text"), F.lit(0)) > 0,
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 \\t\\n\\r]", ""))
+        / F.coalesce(F.length("text"), F.lit(0)),
+    ).otherwise(F.lit(0.0))
+    got = df.select(
+        symbol_ratio(F.col("text")).alias("t"), regex_form.alias("r")
+    ).collect()
+    for row in got:
+        assert row["t"] == row["r"], (row["t"], row["r"])

@@ -135,13 +135,27 @@ def two_tier_match(
     Returns left rows + matched right id + status. Works for any
     ``right_id`` type — the orphan rows' null id is cast to the right
     frame's actual id type.
+
+    The tier frames are persisted (MEMORY_AND_DISK): without it Catalyst
+    re-derives the strict asof-join subtree for every consumer — once for
+    out1, and again inside rest/l2/orphans, 4 evaluations total (the
+    loose range join twice) — a 4x tax on the most expensive joins in the
+    route at corpus scale. All three frames are narrow id/ts/bucket
+    projections (no payload columns), so the cache is metadata-sized
+    relative to the corpus and spills to disk instead of failing — the
+    same lifetime contract as the dedup token-set persist: the cache
+    lives until the session ends or the caller unpersists.
     """
+    from pyspark.storagelevel import StorageLevel
+
     l1 = asof_nearest_join(
         left, right, on, left_ts, right_ts, strict_us, left_id,
         how="inner", tiebreak=[right_id],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l1_ids = l1.select(left_id).distinct()
-    rest = left.join(l1_ids, on=left_id, how="left_anti")
+    rest = left.join(l1_ids, on=left_id, how="left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     l2 = range_join_best(
         rest,
         right,
@@ -152,7 +166,7 @@ def two_tier_match(
         loose_pred,
         left_key_cols=[left_id],
         tiebreak=[right_id],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l2_ids = l2.select(left_id).distinct()
     orphans = rest.join(l2_ids, on=left_id, how="left_anti")
     out1 = l1.select(*left.columns, F.col(right_id)).withColumn(

@@ -328,3 +328,67 @@ def test_catalog_bucketed_merge_replace_keys_shrink_to_zero(spark, cat_io):
         replace_keys=two_key,
     )
     assert not cat_io.table_exists(spark, "shrnk")
+
+
+def test_catalog_winnow_index_lifecycle(spark, cat_io, tmp_path):
+    """Catalog-mode twin of the parquet-backend winnow-index lifecycle
+    (tests/test_corpus.py): persist the fingerprint index into the
+    session catalog, probe a recrawl batch against the STORED table only
+    (zero corpus scans), replace a re-delivered doc's fingerprints
+    wholesale, and shrink every doc to zero fingerprints — the emptied
+    buckets must drop all the way to a nonexistent table and the probe
+    must then return empty instead of failing."""
+    from dataquality_box_spark.operators.corpus import (
+        persist_winnow_index,
+        winnow_overlap_pairs,
+        winnow_overlap_stored,
+    )
+
+    shared = "p q r s t u v w"
+    corpus_path = str(tmp_path / "corpus_docs")
+    spark.createDataFrame(
+        [(11, shared + " c1 c2 c3"), (12, "d1 d2 d3 d4 d5 d6 d7 d8")],
+        "doc_id long, text string",
+    ).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    persist_winnow_index(spark, cat_io, corpus)
+
+    new = spark.createDataFrame(
+        [(0, "a0 b0 " + shared)], "doc_id long, text string"
+    )
+    result = winnow_overlap_stored(spark, cat_io, new, min_shared=1)
+    files = result.inputFiles()
+    assert files and not any("corpus_docs" in f for f in files)
+
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in result.collect()}
+    want = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(new, corpus, min_shared=1).collect()
+    }
+    assert got == want and (0, 11) in got
+
+    # wholesale replace: re-deliver doc 11 with disjoint text
+    persist_winnow_index(
+        spark,
+        cat_io,
+        spark.createDataFrame(
+            [(11, "z1 z2 z3 z4 z5 z6 z7 z8")], "doc_id long, text string"
+        ),
+    )
+    got2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_overlap_stored(spark, cat_io, new, min_shared=1).collect()
+    }
+    assert (0, 11) not in got2
+
+    # shrink-to-zero for EVERY indexed doc: emptied buckets drop, then
+    # the emptied table drops, and the probe returns empty
+    persist_winnow_index(
+        spark,
+        cat_io,
+        spark.createDataFrame(
+            [(11, "tiny doc"), (12, "also tiny")], "doc_id long, text string"
+        ),
+    )
+    assert not cat_io.table_exists(spark, "winnow_corpus_fps")
+    assert winnow_overlap_stored(spark, cat_io, new, min_shared=1).count() == 0
